@@ -7,8 +7,9 @@ dry-runs the multi-chip path and benches on the real TPU chip.
 
 import os
 
-# Must run before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax initializes its backends. The harness environment pins
+# JAX_PLATFORMS to the TPU platform, so override (not setdefault) for tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

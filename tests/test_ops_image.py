@@ -80,8 +80,11 @@ def test_rescale_depth_upscale_with_nan_fill():
     assert np.isfinite(out[:48]).all()
     assert np.isnan(out[48:]).all()
     # NN semantics: values come from the original grid, scaled to meters
+    # (tolerance: XLA compiles /1000 as multiply-by-reciprocal, 1 ulp off)
     expect = np.unique(d.astype(np.float32) / np.float32(1000.0))
-    assert set(np.unique(out[:48])).issubset(set(expect))
+    got = np.unique(out[:48])
+    nearest = expect[np.clip(np.searchsorted(expect, got), 0, len(expect) - 1)]
+    assert np.abs(got - nearest).max() < 1e-6
 
 
 def test_depth_to_3d_sparse_pinhole():

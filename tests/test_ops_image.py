@@ -83,8 +83,7 @@ def test_rescale_depth_upscale_with_nan_fill():
     # (tolerance: XLA compiles /1000 as multiply-by-reciprocal, 1 ulp off)
     expect = np.unique(d.astype(np.float32) / np.float32(1000.0))
     got = np.unique(out[:48])
-    nearest = expect[np.clip(np.searchsorted(expect, got), 0, len(expect) - 1)]
-    assert np.abs(got - nearest).max() < 1e-6
+    assert np.isclose(got[:, None], expect[None, :], atol=1e-6).any(1).all()
 
 
 def test_depth_to_3d_sparse_pinhole():

@@ -1,0 +1,207 @@
+"""ORB feature pipeline: pyramid -> FAST/Harris -> orientation -> rBRIEF-256.
+
+TPU-native replacement for cv::ORB (reference usage:
+src/training/Trainer.cpp:144-150 for training, the ecto_opencv
+FeatureDescriptor cell at detector.py:27 for detection; operating points from
+conf/detection.ork:26-28 — n_features=5000, n_levels=3, scale_factor=1.2).
+
+Design notes (deliberate deviations, all self-consistent between train/detect):
+  * keypoint ranking is Harris-among-FAST-corners in a single static top-K
+    per level instead of OpenCV's retainBest(2N)->Harris->retainBest(N);
+  * the rBRIEF sampling pattern is a deterministic seeded Gaussian pattern
+    (BRIEF-paper construction) rather than OpenCV's learned table — descriptors
+    are a private format between our trainer and detector;
+  * orientation uses the intensity-centroid moments computed as one dense
+    2-channel 31x31 convolution (MXU) instead of per-keypoint patch loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tod_tpu.ops.fast import (
+    fast_score,
+    features_per_level,
+    harris_response,
+    select_topk_keypoints,
+)
+from tod_tpu.ops.image import build_pyramid, gaussian_blur, resize_nearest
+
+HALF_PATCH = 15          # orientation patch radius (cv::ORB half_patch_size)
+PATCH_RADIUS = 13        # rBRIEF sample coordinates live in [-13, 13]
+EDGE_THRESHOLD = 31      # keypoint margin (cv::ORB edgeThreshold default)
+N_BITS = 256
+
+
+class Keypoints(NamedTuple):
+    """A fixed-capacity batch of keypoints (padded; use ``valid``)."""
+
+    xy: jax.Array        # (K,2) float32 — level-0 pixel coords
+    response: jax.Array  # (K,) float32 — Harris response
+    angle: jax.Array     # (K,) float32 — orientation, radians
+    level: jax.Array     # (K,) int32 — pyramid level
+    valid: jax.Array     # (K,) bool
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF pattern
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(seed: int = 1234, n_bits: int = N_BITS) -> np.ndarray:
+    """(n_bits, 2, 2) int32 point-pair pattern, i.i.d. Gaussian with
+    sigma = patch/5 clipped to +/-PATCH_RADIUS (BRIEF G(0, S^2/25) sampling);
+    degenerate equal pairs are rejected deterministically."""
+    rs = np.random.RandomState(seed)
+    sigma = (2 * PATCH_RADIUS + 1) / 5.0
+    pairs = np.zeros((n_bits, 2, 2), np.int32)
+    n_done = 0
+    while n_done < n_bits:
+        cand = np.clip(np.round(rs.normal(0.0, sigma, size=(4,))),
+                       -PATCH_RADIUS, PATCH_RADIUS).astype(np.int32)
+        p1, p2 = cand[:2], cand[2:]
+        if (p1 == p2).all():
+            continue
+        pairs[n_done, 0] = p1
+        pairs[n_done, 1] = p2
+        n_done += 1
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Orientation (intensity centroid)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _moment_kernels() -> np.ndarray:
+    """(2, 1, 31, 31) conv kernels computing (m10, m01) over the circular
+    intensity-centroid patch (cv::ORB IC_Angle's u_max circle)."""
+    size = 2 * HALF_PATCH + 1
+    ys, xs = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
+    # circle half-width per row, the cvRound(sqrt(r^2 - y^2)) construction
+    width = np.round(np.sqrt(HALF_PATCH**2 - np.minimum(ys**2, HALF_PATCH**2)))
+    mask = np.abs(xs) <= width
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return np.stack([kx, ky])[:, None]  # (2,1,31,31)
+
+
+def orientation_moments(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dense (m10, m01) maps via one 2-channel 31x31 conv on the MXU.
+
+    NOTE: conv with 'SAME' zero padding — keypoints are guaranteed to sit
+    >= EDGE_THRESHOLD from the border, where padding never reaches.
+    """
+    k = jnp.asarray(_moment_kernels())
+    out = jax.lax.conv_general_dilated(
+        img.astype(jnp.float32)[None, None], k, (1, 1), "SAME",
+        precision=jax.lax.Precision.DEFAULT)[0]
+    return out[0], out[1]
+
+
+def keypoint_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Orientation at integer keypoint coords: atan2(m01, m10)."""
+    m10, m01 = orientation_moments(img)
+    gx = m10[xy[:, 1], xy[:, 0]]
+    gy = m01[xy[:, 1], xy[:, 0]]
+    return jnp.arctan2(gy, gx)
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF descriptor sampling
+# ---------------------------------------------------------------------------
+
+
+def brief_descriptors(blurred: jax.Array, xy: jax.Array,
+                      angle: jax.Array) -> jax.Array:
+    """Steered BRIEF-256 bits for keypoints at integer level coords.
+
+    ``blurred``: the Gaussian-smoothed level image; ``xy``: (K,2) int32;
+    ``angle``: (K,) radians. Returns (K, 32) uint8, 8 pairs per byte LSB-first
+    (cv::ORB bit packing; descriptor format parity with the reference's
+    N x 32 CV_8U model attachment, DescriptorMatcher.cpp:74-80).
+    """
+    h, w = blurred.shape
+    pattern = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256,2,2)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)                     # (K,)
+    px = pattern[None, :, :, 0]                                  # (1,256,2)
+    py = pattern[None, :, :, 1]
+    # steer + round, like cv::ORB's cvRound(x*cos - y*sin) sampling
+    rx = jnp.round(px * ca[:, None, None] - py * sa[:, None, None])
+    ry = jnp.round(px * sa[:, None, None] + py * ca[:, None, None])
+    gx = jnp.clip(xy[:, 0, None, None] + rx.astype(jnp.int32), 0, w - 1)
+    gy = jnp.clip(xy[:, 1, None, None] + ry.astype(jnp.int32), 0, h - 1)
+    flat_idx = (gy * w + gx).reshape(xy.shape[0], -1)            # (K, 512)
+    vals = jnp.take(blurred.ravel(), flat_idx, axis=0).reshape(
+        xy.shape[0], N_BITS, 2)
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint8)     # (K,256)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    return (bits.reshape(-1, 32, 8) * weights).sum(axis=-1, dtype=jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Full detect-and-compute
+# ---------------------------------------------------------------------------
+
+
+def orb_detect_and_compute(
+        gray: jax.Array,
+        n_features: int = 500,
+        n_levels: int = 3,
+        scale_factor: float = 1.2,
+        fast_threshold: float = 20.0,
+        edge_threshold: int = EDGE_THRESHOLD,
+        mask: Optional[jax.Array] = None) -> Tuple[Keypoints, jax.Array]:
+    """ORB keypoints + 256-bit descriptors with fully static shapes.
+
+    Returns ``(Keypoints, descriptors)`` with exactly ``n_features`` padded
+    slots; invalid slots have valid=False and zero descriptors. ``mask``
+    (H,W, nonzero = allowed), when given, restricts detection like the
+    cv::ORB mask argument used during training (Trainer.cpp:147).
+    """
+    levels = build_pyramid(gray, n_levels, scale_factor)
+    counts = features_per_level(n_features, n_levels, scale_factor)
+
+    kxs: List[jax.Array] = []
+    all_desc: List[jax.Array] = []
+    all_resp, all_angle, all_level, all_valid = [], [], [], []
+
+    for lvl, (img, k_lvl) in enumerate(zip(levels, counts)):
+        if k_lvl == 0:
+            continue
+        scale = scale_factor**lvl
+        score, is_corner = fast_score(img, fast_threshold)
+        harris = harris_response(img)
+        lvl_mask = None
+        if mask is not None:
+            lvl_mask = (resize_nearest(mask.astype(jnp.float32), img.shape)
+                        if img.shape != mask.shape else mask)
+        xy, resp, valid = select_topk_keypoints(
+            score, harris, is_corner, k_lvl, edge_threshold, lvl_mask)
+        angle = keypoint_angles(img, xy)
+        blurred = gaussian_blur(img, 7, 2.0)
+        desc = brief_descriptors(blurred, xy, angle)
+        desc = jnp.where(valid[:, None], desc, jnp.uint8(0))
+
+        kxs.append(xy.astype(jnp.float32) * scale)
+        all_resp.append(resp)
+        all_angle.append(angle)
+        all_level.append(jnp.full((k_lvl,), lvl, jnp.int32))
+        all_valid.append(valid)
+        all_desc.append(desc)
+
+    kps = Keypoints(
+        xy=jnp.concatenate(kxs),
+        response=jnp.concatenate(all_resp),
+        angle=jnp.concatenate(all_angle),
+        level=jnp.concatenate(all_level),
+        valid=jnp.concatenate(all_valid),
+    )
+    return kps, jnp.concatenate(all_desc)

@@ -1,0 +1,234 @@
+"""Graph-constrained RANSAC with clique certification — vmapped on TPU.
+
+TPU-native rebuild of the reference's pose engine:
+  * ``RandomSampleConsensus::computeModel`` (src/common/ransac.h:80-143) —
+    the sequential adaptive loop becomes a fixed batch of B hypotheses
+    evaluated in parallel with post-hoc best-selection (SURVEY.md section 7
+    "adaptive RANSAC termination": match detection behavior, not iteration
+    counts);
+  * ``SampleConsensusModelRegistrationGraph`` (sac_model_registration_graph.h)
+    — rejection-sampled sample-adjacency 3-cliques become masked Gumbel
+    categorical draws; candidate inliers are the common physical neighbors of
+    the three samples (:177-186) plus the samples; the exact max-clique
+    certificate (:202-265) becomes a vectorized greedy clique grown on the
+    top-scoring hypotheses (a lower bound; the standalone exact C++
+    MaxCliqueDyn lives in tod_tpu.native for API parity);
+  * ``AdjacencyRansac::Ransac`` post-fit refinement + pose inversion
+    (adjacency_ransac.cpp:235-309);
+  * the multi-instance loop with query-keypoint invalidation
+    (GuessGenerator.cpp:192-231, adjacency_ransac.cpp:94-123).
+
+Deliberate deviations (documented):
+  * the reference never sets the SAC distance threshold, leaving it DBL_MAX
+    (sac.h:71) so its residual test is vacuous and inlier membership is purely
+    graph-based; we default to the threshold the API intends
+    (``sensor_error``) — set ``use_residual_test=False`` for bug-compatible
+    behavior;
+  * the clique minimal size is pinned to min(initial best=8, 7)=7 instead of
+    growing with the best-so-far count (a pruning heuristic only);
+  * only the top ``n_clique_checked`` hypotheses by inlier count are
+    clique-certified; the rest can win at most min(n_inliers, 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tod_tpu.geometry.adjacency import (
+    AdjacencyGraphs,
+    ObjectMatches,
+    count_unique_query_indices,
+    invalidate_query_indices,
+)
+from tod_tpu.geometry.transforms import apply_rt, invert_pose, kabsch
+
+NEG_INF = -jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    n_hypotheses: int = 1024          # conf/detection.ork:40 uses 2500 seq. iters
+    min_inliers: int = 8              # conf/detection.ork:41
+    sensor_error: float = 0.01        # conf/detection.ork:42
+    max_instances: int = 5            # bounded multi-instance loop
+    clique_minimal_size: int = 7      # min(best_inlier_number_=8, 7)
+    n_clique_checked: int = 64        # hypotheses that get the clique pass
+    max_refine_iters: int = 12
+    use_residual_test: bool = True
+
+
+class RansacRound(NamedTuple):
+    R: jax.Array          # (3,3) — object->camera (already inverted)
+    T: jax.Array          # (3,)
+    inliers: jax.Array    # (M,) bool — final inlier matches
+    n_unique: jax.Array   # () int32 — unique query keypoints among inliers
+    found: jax.Array      # () bool
+
+
+def _masked_gumbel_argmax(key, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Uniform draw from each row's true entries: argmax of Gumbel noise."""
+    g = jax.random.gumbel(key, mask.shape, dtype=jnp.float32)
+    score = jnp.where(mask, g, NEG_INF)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32), mask.any(-1)
+
+
+def sample_triples(key, sample_adj: jax.Array, valid: jax.Array, n: int):
+    """Draw n sample-adjacency 3-cliques (drawIndexSampleHelper semantics:
+    v1 uniform over valid, v2 over N(v1), v3 over N(v1) ∩ N(v2))."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    m = valid.shape[0]
+    m1 = jnp.broadcast_to(valid, (n, m))
+    v1, ok1 = _masked_gumbel_argmax(k1, m1)
+    m2 = sample_adj[v1] & valid[None, :]
+    v2, ok2 = _masked_gumbel_argmax(k2, m2)
+    m3 = m2 & sample_adj[v2]
+    v3, ok3 = _masked_gumbel_argmax(k3, m3)
+    return (v1, v2, v3), ok1 & ok2 & ok3
+
+
+def _greedy_clique_size(adj: jax.Array, cand: jax.Array, need: int) -> jax.Array:
+    """Grow a clique greedily (max degree-within-candidates first) for ``need``
+    steps. ``adj``: (M,M) bool; ``cand``: (B,M) bool. Returns clique sizes
+    (B,) in [0, need]. Lower-bounds the max clique within each candidate set."""
+    adj_f = adj.astype(jnp.bfloat16)
+
+    def body(_, state):
+        cand, size = state
+        deg = jnp.dot(cand.astype(jnp.bfloat16), adj_f,
+                      preferred_element_type=jnp.float32)      # (B,M)
+        pick = jnp.argmax(jnp.where(cand, deg, -1.0), axis=-1)
+        has = cand.any(-1)
+        size = size + has.astype(jnp.int32)
+        cand = cand & adj[pick]
+        return cand, size
+
+    _, size = jax.lax.fori_loop(
+        0, need, body, (cand, jnp.zeros(cand.shape[0], jnp.int32)))
+    return size
+
+
+def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
+                 valid: jax.Array, cfg: RansacConfig) -> RansacRound:
+    """One full RANSAC + refinement on the current valid-match mask.
+
+    Returns the best pose in the reference's output convention
+    (object/model frame -> camera frame, after inversion).
+    """
+    m_cap = valid.shape[0]
+    q, t = matches.query_pts, matches.train_pts
+    sigma = cfg.sensor_error
+    b = cfg.n_hypotheses
+
+    (v1, v2, v3), samp_ok = sample_triples(key, graphs.sample, valid, b)
+
+    idx3 = jnp.stack([v1, v2, v3], axis=1)                     # (B,3)
+    q3 = q[idx3]                                               # (B,3,3)
+    t3 = t[idx3]
+    fit = kabsch(q3, t3, jnp.ones((b, 3), jnp.float32))
+
+    onehot = (jax.nn.one_hot(v1, m_cap, dtype=bool)
+              | jax.nn.one_hot(v2, m_cap, dtype=bool)
+              | jax.nn.one_hot(v3, m_cap, dtype=bool))
+    possible = (graphs.physical[v1] & graphs.physical[v2] & graphs.physical[v3]
+                & valid[None, :]) | (onehot & valid[None, :])
+    if cfg.use_residual_test:
+        transformed = (jnp.einsum("bij,nj->bni", fit.R, q)
+                       + fit.T[:, None, :])                    # (B,M,3)
+        res = ((transformed - t[None]) ** 2).sum(-1)           # (B,M)
+        possible = possible & (res < sigma * sigma)
+    inlier = possible & (samp_ok & fit.ok)[:, None]
+    n_in = inlier.sum(-1).astype(jnp.int32)                    # (B,)
+
+    # --- clique certification on the top hypotheses --------------------------
+    minimal = cfg.clique_minimal_size
+    h = min(cfg.n_clique_checked, b)
+    top_n, top_idx = jax.lax.top_k(n_in, h)
+    # the reference's pre-filter: inliers need >= minimal sample-neighbors
+    samp_deg = (graphs.sample & valid[None, :]).sum(-1)        # (M,)
+    top_inlier = inlier[top_idx]                               # (H,M)
+    filtered = top_inlier & (samp_deg >= minimal)[None, :]
+    clique_size = _greedy_clique_size(graphs.sample, filtered, minimal + 1)
+    certified = clique_size > minimal                          # (H,)
+    checked_score = jnp.where(top_n <= minimal, top_n,
+                              jnp.where(certified, top_n, 0))
+    # un-checked hypotheses can win at most min(n, minimal)
+    base_score = jnp.minimum(n_in, minimal)
+    score = base_score.at[top_idx].set(checked_score)
+
+    best = jnp.argmax(score)
+    best_score = score[best]
+    found = best_score > 0
+    best_inliers = inlier[best]
+    r0, t0 = fit.R[best], fit.T[best]
+
+    # --- refinement: optimize + absorb extra inliers (Ransac():266-303) ------
+    def refine_cond(state):
+        _, _, _, _, _, done, it = state
+        return (~done) & (it < cfg.max_refine_iters)
+
+    def refine_body(state):
+        r_c, t_c, inl, thresh, do_final, _, it = state
+        fit_c = kabsch(q, t, inl.astype(jnp.float32))
+        r_n = jnp.where(fit_c.ok, fit_c.R, r_c)
+        t_n = jnp.where(fit_c.ok, fit_c.T, t_c)
+        res = ((apply_rt(r_n, t_n, q) - t) ** 2).sum(-1)
+        extra = valid & ~inl & (res < thresh)
+        inl_n = inl | extra
+        no_extra = ~extra.any()
+        done = do_final
+        thresh_n = jnp.where(no_extra & ~do_final, thresh * 4.0, thresh)
+        do_final_n = do_final | no_extra
+        return r_n, t_n, inl_n, thresh_n, do_final_n, done, it + 1
+
+    init = (r0, t0, best_inliers, jnp.float32(sigma * sigma),
+            jnp.asarray(False), jnp.asarray(False), jnp.int32(0))
+    r_f, t_f, inl_f, _, _, _, _ = jax.lax.while_loop(
+        refine_cond, refine_body, init)
+
+    n_unique = count_unique_query_indices(matches.query_idx, inl_f & found)
+    r_out, t_out = invert_pose(r_f, t_f)
+    return RansacRound(
+        R=jnp.where(found, r_out, jnp.eye(3)),
+        T=jnp.where(found, t_out, jnp.zeros(3)),
+        inliers=inl_f & found,
+        n_unique=jnp.where(found, n_unique, 0).astype(jnp.int32),
+        found=found)
+
+
+class ObjectDetections(NamedTuple):
+    """Fixed-capacity multi-instance detections for one object."""
+
+    R: jax.Array         # (I,3,3) object->camera
+    T: jax.Array         # (I,3)
+    n_inliers: jax.Array  # (I,) int32 unique-keypoint inlier counts
+    accepted: jax.Array  # (I,) bool
+
+
+def detect_object_instances(key, matches: ObjectMatches,
+                            graphs: AdjacencyGraphs,
+                            cfg: RansacConfig) -> ObjectDetections:
+    """The reference's repeated-RANSAC multi-instance loop
+    (GuessGenerator.cpp:192-231): run RANSAC, accept the pose if it has at
+    least ``min_inliers`` unique query keypoints, invalidate those keypoints'
+    matches, repeat — bounded at ``max_instances``."""
+
+    def step(carry, key_i):
+        valid, active = carry
+        round_ = ransac_round(key_i, matches, graphs, valid, cfg)
+        accept = active & round_.found & (round_.n_unique >= cfg.min_inliers)
+        valid_next = jnp.where(
+            accept,
+            invalidate_query_indices(valid, graphs.sample, matches.query_idx,
+                                     round_.inliers),
+            valid)
+        out = (round_.R, round_.T, round_.n_unique, accept)
+        return (valid_next, accept), out
+
+    keys = jax.random.split(key, cfg.max_instances)
+    (_, _), (rs, ts, counts, accepted) = jax.lax.scan(
+        step, (graphs.valid, jnp.asarray(True)), keys)
+    return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted)

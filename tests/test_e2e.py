@@ -1,0 +1,154 @@
+"""End-to-end tests: synthetic turntable training -> multi-object detection.
+
+This is the system-level coverage the reference never had (SURVEY.md
+section 4): render objects with known ground truth, train models through the
+real training pipeline, then detect them in a composed scene through both the
+cell-graph detector (TodDetector) and the fused jitted detector, asserting
+pose accuracy.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tod_tpu.db import InMemoryDb, load_models_for_objects
+from tod_tpu.models import FusedDetector, FusedDetectorConfig, TodDetector, TodTrainer
+from tod_tpu.models.fused import pack_models
+from tod_tpu.geometry.detection import GuessConfig
+from tod_tpu.geometry.ransac import RansacConfig
+from tod_tpu.utils.synthetic import (
+    DEFAULT_K,
+    SyntheticObject,
+    compose_scene,
+    facing_pose,
+    turntable_observations,
+)
+
+DB_JSON = json.dumps({"type": "mem", "collection": "e2e"})
+OBJECT_IDS = ["obj_alpha", "obj_beta"]
+
+
+def _train_all():
+    from tod_tpu.db import insert_observation
+
+    db = InMemoryDb.shared("e2e")
+    objects = []
+    for i, oid in enumerate(OBJECT_IDS):
+        obj = SyntheticObject.make(oid, seed=10 + i)
+        objects.append(obj)
+        for obs in turntable_observations(obj, n_views=8):
+            insert_observation(db, oid, obs["frame_number"], obs["image"],
+                              obs["depth"], obs["mask"], obs["K"], obs["R"],
+                              obs["T"])
+        trainer = TodTrainer(
+            "trainer", object_id=oid, json_db=DB_JSON,
+            json_feature_params=json.dumps(
+                {"type": "ORB", "n_features": 800, "n_levels": 3,
+                 "scale_factor": 1.2}))
+        trainer.process()
+    return objects, db
+
+
+@pytest.fixture(scope="module")
+def trained():
+    InMemoryDb.reset_shared()
+    objects, db = _train_all()
+    yield objects, db
+    InMemoryDb.reset_shared()
+
+
+# module-scoped setup conflicts with the autouse db-reset fixture; disable it
+@pytest.fixture(autouse=True)
+def _reset_shared_dbs():
+    yield
+
+
+def test_training_builds_models(trained):
+    _, db = trained
+    models = load_models_for_objects(db, "all")
+    assert [m.object_id for m in models] == OBJECT_IDS
+    for m in models:
+        assert m.n_points > 300, f"{m.object_id}: only {m.n_points} points"
+        assert m.descriptors.shape == (m.n_points, 32)
+        # world-frame model points live on the turntable plane near origin
+        assert np.abs(m.points[:, 2]).max() < 0.02
+        assert 0.2 < m.span < 0.45
+
+
+def _scene(objects, seed=5):
+    rng = np.random.default_rng(seed)
+    poses = [facing_pose(rng, z=0.7), facing_pose(rng, z=0.95)]
+    # keep the two objects apart in x so they don't occlude
+    poses[0][1][0] = -0.16
+    poses[1][1][0] = 0.18
+    image, depth = compose_scene(objects, poses)
+    return image, depth, poses
+
+
+def _pose_errors(result, gt_R, gt_T):
+    dt = np.linalg.norm(result.T - gt_T)
+    dR = result.R @ gt_R.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    return dt, ang
+
+
+def test_fused_detector_recovers_poses(trained):
+    objects, db = trained
+    models = load_models_for_objects(db, "all")
+    cfg = FusedDetectorConfig(
+        n_features=1500,
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01)))
+    det = FusedDetector(models, cfg)
+    image, depth, poses = _scene(objects)
+    results = det.detect(image, depth, DEFAULT_K)
+    assert len(results) >= 2, f"found {len(results)} poses"
+    for oid, (gt_R, gt_T) in zip(OBJECT_IDS, poses):
+        mine = [r for r in results if r.object_id == oid]
+        assert mine, f"{oid} not detected"
+        best = max(mine, key=lambda r: r.confidence)
+        dt, ang = _pose_errors(best, gt_R, gt_T)
+        assert dt < 0.02, f"{oid}: translation error {dt:.4f} m"
+        assert ang < 5.0, f"{oid}: rotation error {ang:.2f} deg"
+
+
+def test_cell_graph_detector_matches_fused(trained):
+    objects, db = trained
+    image, depth, poses = _scene(objects)
+    detector = TodDetector(
+        "detector",
+        json_db=DB_JSON,
+        search=json.dumps({"type": "LSH", "radius": 35, "ratio": 0.8}),
+        json_feature_params=json.dumps(
+            {"type": "ORB", "n_features": 1500, "n_levels": 3,
+             "scale_factor": 1.2}),
+        n_ransac_iterations=512,
+        min_inliers=8,
+        sensor_error=0.01)
+    detector.inputs["image"] = image
+    detector.inputs["depth"] = depth
+    detector.inputs["K_image"] = DEFAULT_K
+    detector.process()
+    results = detector.outputs["pose_results"]
+    found_ids = {r.object_id for r in results}
+    assert set(OBJECT_IDS) <= found_ids
+    for oid, (gt_R, gt_T) in zip(OBJECT_IDS, poses):
+        best = max((r for r in results if r.object_id == oid),
+                   key=lambda r: r.confidence)
+        dt, ang = _pose_errors(best, gt_R, gt_T)
+        assert dt < 0.02 and ang < 5.0, (oid, dt, ang)
+
+
+def test_detection_no_false_positive_on_empty_scene(trained):
+    objects, db = trained
+    models = load_models_for_objects(db, "all")
+    det = FusedDetector(models, FusedDetectorConfig(
+        n_features=1500,
+        guess=GuessConfig(ransac=RansacConfig(n_hypotheses=512))))
+    # scene with only background noise
+    rng = np.random.default_rng(0)
+    image = rng.integers(80, 120, (480, 640, 3), dtype=np.uint8)
+    depth = np.full((480, 640), 900, np.uint16)
+    results = det.detect(image, depth, DEFAULT_K)
+    assert results == []

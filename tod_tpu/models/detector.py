@@ -1,0 +1,95 @@
+"""TodDetector: the detection pipeline BlackBox.
+
+API-parity rebuild of python/object_recognition_tod/detector.py:15-110 —
+same cells, same forwards, same direct params, same dataflow wiring — on the
+tod_tpu pipeline runtime. For production throughput use
+tod_tpu.models.fused.FusedDetector (one jitted function for the whole frame);
+this BlackBox is the flexible/compatible graph form.
+"""
+
+from __future__ import annotations
+
+from tod_tpu.cells.features import (
+    DepthTo3d,
+    FeatureDescriptor,
+    RescaledRegisteredDepth,
+)
+from tod_tpu.cells.guess import GuessGenerator
+from tod_tpu.cells.io import PassthroughN
+from tod_tpu.cells.matcher import DescriptorMatcher
+from tod_tpu.pipeline.blackbox import BlackBox
+from tod_tpu.pipeline.cell import CellInfo, Forward
+from tod_tpu.pipeline.tendril import Tendrils
+
+
+class TodDetector(BlackBox):
+    @classmethod
+    def declare_cells(cls, p: Tendrils):
+        guess_params = {"visualize": p["visualize"], "db": p["json_db"]}
+        return {
+            "depth_map": CellInfo(RescaledRegisteredDepth),
+            "feature_descriptor": CellInfo(FeatureDescriptor),
+            "guess_generator": CellInfo(GuessGenerator, guess_params),
+            "passthrough": CellInfo(
+                PassthroughN,
+                {"items": {"image": "An image",
+                           "K_image": "The camera matrix"}}),
+        }
+
+    @classmethod
+    def declare_forwards(cls, _p):
+        p = {"feature_descriptor": [Forward("json_feature_params"),
+                                    Forward("json_descriptor_params")],
+             "guess_generator": [Forward("n_ransac_iterations"),
+                                 Forward("min_inliers"),
+                                 Forward("sensor_error")]}
+        i = {"passthrough": [Forward("image"), Forward("K_image")],
+             "feature_descriptor": [Forward("mask")],
+             "depth_map": [Forward("depth_in", "depth")]}
+        o = {"feature_descriptor": [Forward("keypoints")],
+             "guess_generator": [Forward("pose_results")]}
+        return p, i, o
+
+    @classmethod
+    def declare_direct_params(cls, p: Tendrils):
+        p.declare("json_db", "The DB to get data from as a JSON string",
+                  default="{}")
+        p.declare("search", "The search parameters as a JSON string",
+                  default="{}")
+        p.declare("json_object_ids", "The ids of the objects to find as a "
+                  'JSON list or the keyword "all".', default="all")
+        p.declare("visualize", "If true, some windows pop up to see the "
+                  "progress", default=False)
+
+    def configure_blackbox(self, p, _i, _o):
+        self.descriptor_matcher = DescriptorMatcher(
+            "Matcher",
+            search_json_params=p["search"],
+            json_db=p["json_db"],
+            json_object_ids=p["json_object_ids"])
+        self._points3d = DepthTo3d()
+
+    def connections(self, p):
+        # Rescale the depth image and convert to 3d (detector.py:64-69)
+        graph = [self.passthrough["image"] >> self.depth_map["image"],
+                 self.depth_map["depth"] >> self._points3d["depth"],
+                 self.passthrough["K_image"] >> self._points3d["K"],
+                 self._points3d["points3d"]
+                 >> self.guess_generator["points3d"]]
+
+        graph += [self.passthrough["image"]
+                  >> self.feature_descriptor["image"],
+                  self.passthrough["image"] >> self.guess_generator["image"]]
+
+        graph += [self.descriptor_matcher["spans"]
+                  >> self.guess_generator["spans"],
+                  self.descriptor_matcher["object_ids"]
+                  >> self.guess_generator["object_ids"]]
+
+        graph += [self.feature_descriptor["keypoints"]
+                  >> self.guess_generator["keypoints"],
+                  self.feature_descriptor["descriptors"]
+                  >> self.descriptor_matcher["descriptors"],
+                  self.descriptor_matcher["matches", "matches_3d"]
+                  >> self.guess_generator["matches", "matches_3d"]]
+        return graph

@@ -1,0 +1,148 @@
+"""FusedDetector: the whole detection forward pass as ONE jitted function.
+
+This is the production/serving form of the detection pipeline — where the
+reference schedules five ecto cells per frame (detector.py:64-110), the TPU
+framework traces feature extraction, DB matching, clustering, adjacency and
+multi-instance RANSAC into a single XLA program: no host round-trips between
+stages, everything fused and static-shaped. The cell graph (TodDetector) and
+this fused model share the exact same ops/geometry code, so their results
+agree; the fused form is what bench.py and __graft_entry__ run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tod_tpu.cells.types import PoseResult
+from tod_tpu.db.models import TodModel
+from tod_tpu.geometry.detection import GuessConfig, detect_frame_from_matches
+from tod_tpu.geometry.ransac import ObjectDetections, RansacConfig
+from tod_tpu.ops.depth import depth_to_3d_sparse, to_metric_depth
+from tod_tpu.ops.image import rgb_to_gray
+from tod_tpu.ops.matching import hamming_topk, pad_db
+from tod_tpu.ops.orb import Keypoints, orb_detect_and_compute
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedDetectorConfig:
+    """Operating point. Defaults follow conf/detection.ork:26-42."""
+
+    n_features: int = 5000
+    n_levels: int = 3
+    scale_factor: float = 1.2
+    fast_threshold: float = 20.0
+    k_matches: int = 5          # knnMatch k (DescriptorMatcher.cpp:211)
+    radius: float = 35.0        # Hamming radius cut (conf/detection.ork:38)
+    db_chunk: int = 16384
+    guess: GuessConfig = GuessConfig(
+        ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
+                            sensor_error=0.01))
+
+
+class ModelDb(NamedTuple):
+    """Device-resident packed model database (sharding-friendly pytree)."""
+
+    descriptors: jax.Array   # (N_pad, 32) uint8
+    points: jax.Array        # (N_pad, 3) float32
+    obj_of_row: jax.Array    # (N_pad,) int32 (-1 for padding)
+    n_valid: jax.Array       # () int32
+    spans: jax.Array         # (O,) float32
+
+
+def pack_models(models: Sequence[TodModel], chunk: int) -> Tuple[ModelDb, List[str]]:
+    if models:
+        desc = np.concatenate([m.descriptors for m in models])
+        pts = np.concatenate([m.points for m in models]).astype(np.float32)
+        obj = np.concatenate([np.full(m.n_points, i, np.int32)
+                              for i, m in enumerate(models)])
+        spans = np.asarray([m.span for m in models], np.float32)
+    else:
+        desc = np.zeros((0, 32), np.uint8)
+        pts = np.zeros((0, 3), np.float32)
+        obj = np.zeros(0, np.int32)
+        spans = np.zeros(0, np.float32)
+    padded, n = pad_db(desc, chunk)
+    n_pad = len(padded) - n
+    db = ModelDb(
+        descriptors=jnp.asarray(padded),
+        points=jnp.asarray(np.concatenate([pts, np.zeros((n_pad, 3),
+                                                         np.float32)])),
+        obj_of_row=jnp.asarray(np.concatenate([obj, np.full(n_pad, -1,
+                                                            np.int32)])),
+        n_valid=jnp.asarray(n, jnp.int32),
+        spans=jnp.asarray(spans))
+    return db, [m.object_id for m in models]
+
+
+def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,
+                 K: jax.Array, db: ModelDb,
+                 cfg: FusedDetectorConfig) -> Tuple[Keypoints, ObjectDetections]:
+    """The fused forward pass: RGB-D frame + model DB -> poses."""
+    kps, desc = orb_detect_and_compute(
+        gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
+        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
+
+    dist, rows = hamming_topk(desc, db.descriptors, db.n_valid,
+                              k=cfg.k_matches, chunk=cfg.db_chunk)
+    m_valid = (rows >= 0) & (dist <= cfg.radius) & kps.valid[:, None]
+    safe_rows = jnp.maximum(rows, 0)
+    obj_idx = jnp.where(m_valid, db.obj_of_row[safe_rows], -1)
+    train_pts = db.points[safe_rows]
+
+    depth_m = to_metric_depth(depth)
+    query_pts = depth_to_3d_sparse(depth_m, K, kps.xy)
+    query_pts = jnp.where(kps.valid[:, None], query_pts, jnp.nan)
+
+    _, detections = detect_frame_from_matches(
+        key, obj_idx, dist, m_valid, train_pts, query_pts, kps.xy,
+        db.spans, cfg.guess)
+    return kps, detections
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_detect(cfg: FusedDetectorConfig):
+    return jax.jit(functools.partial(detect_frame, cfg=cfg))
+
+
+class FusedDetector:
+    """Convenience wrapper: load models once, detect many frames."""
+
+    def __init__(self, models: Sequence[TodModel],
+                 config: Optional[FusedDetectorConfig] = None,
+                 seed: int = 0):
+        self.config = config or FusedDetectorConfig()
+        self.db, self.object_ids = pack_models(models, self.config.db_chunk)
+        self._key = jax.random.PRNGKey(seed)
+        self._fn = _jitted_detect(self.config)
+
+    def detect_raw(self, image: np.ndarray, depth: np.ndarray,
+                   K: np.ndarray) -> Tuple[Keypoints, ObjectDetections]:
+        """Device-level API (returns stacked jax arrays; no host sync)."""
+        img = jnp.asarray(np.asarray(image), jnp.float32)
+        gray = rgb_to_gray(img) if img.ndim == 3 else img
+        self._key, sub = jax.random.split(self._key)
+        return self._fn(sub, gray, jnp.asarray(np.asarray(depth)),
+                        jnp.asarray(np.asarray(K, np.float32)), self.db)
+
+    def detect(self, image: np.ndarray, depth: np.ndarray,
+               K: np.ndarray) -> List[PoseResult]:
+        _, det = self.detect_raw(image, depth, K)
+        det_r = np.asarray(jax.device_get(det.R))
+        det_t = np.asarray(jax.device_get(det.T))
+        det_n = np.asarray(jax.device_get(det.n_inliers))
+        det_acc = np.asarray(jax.device_get(det.accepted))
+        results: List[PoseResult] = []
+        for o, object_id in enumerate(self.object_ids):
+            for inst in range(det_acc.shape[1]):
+                if det_acc[o, inst]:
+                    results.append(PoseResult(
+                        R=det_r[o, inst], T=det_t[o, inst],
+                        object_id=object_id,
+                        confidence=float(det_n[o, inst])))
+        return results

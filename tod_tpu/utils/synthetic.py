@@ -1,0 +1,213 @@
+"""Synthetic RGB-D scene generation for tests and benchmarks.
+
+The reference has no fixtures at all (SURVEY.md section 4: "no fake DB, no
+recorded RGB-D data, no golden poses"); this module provides what it lacked:
+procedurally textured planar objects rendered into RGB-D turntable
+observations (for training) and multi-object scenes (for detection) with
+exact ground-truth poses.
+
+Conventions match the trainer/db contract: an observation's (R, T) is the
+world->camera transform in column form, x_cam = R @ X_world + T — the inverse
+map the trainer applies is world = (x_cam - T) @ R (training.cpp:175-195).
+Detected poses are model->camera, directly comparable to the scene's
+ground-truth object poses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+DEFAULT_K = np.array([[525.0, 0.0, 319.5],
+                      [0.0, 525.0, 239.5],
+                      [0.0, 0.0, 1.0]], np.float64)
+
+
+def make_texture(seed: int, size: int = 384) -> np.ndarray:
+    """A corner-rich, non-repetitive deterministic texture: multi-octave
+    smooth noise plus many distinct high-contrast shapes (distinctive local
+    patches matter — repetitive textures make Hamming matches ambiguous,
+    which is a property of the scene, not of the matcher)."""
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((size, size), np.float32)
+    for cells, weight in ((6, 1.0), (12, 0.8), (24, 0.6), (48, 0.4)):
+        layer = rng.normal(size=(cells, cells)).astype(np.float32)
+        acc += weight * cv2.resize(layer, (size, size),
+                                   interpolation=cv2.INTER_LINEAR)
+    acc = (acc - acc.min()) / (acc.max() - acc.min() + 1e-9)
+    tex = (40 + 175 * acc).astype(np.uint8)
+    for _ in range(48):
+        shade = int(rng.integers(0, 256))
+        x, y = rng.integers(10, size - 10, 2)
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            w, h = rng.integers(6, 40, 2)
+            cv2.rectangle(tex, (int(x), int(y)),
+                          (int(min(x + w, size - 1)), int(min(y + h, size - 1))),
+                          shade, -1)
+        elif kind == 1:
+            cv2.circle(tex, (int(x), int(y)), int(rng.integers(4, 20)),
+                       shade, -1)
+        elif kind == 2:
+            x2, y2 = rng.integers(10, size - 10, 2)
+            cv2.line(tex, (int(x), int(y)), (int(x2), int(y2)), shade,
+                     int(rng.integers(2, 5)))
+        else:
+            pts = np.stack([rng.integers(max(x - 30, 0), min(x + 30, size), 3),
+                            rng.integers(max(y - 30, 0), min(y + 30, size), 3)],
+                           -1).astype(np.int32)
+            cv2.fillPoly(tex, [pts], shade)
+    return tex
+
+
+def look_at(camera_center: np.ndarray, target: np.ndarray,
+            up: np.ndarray = np.array([0.0, 0.0, 1.0])) -> Tuple[np.ndarray, np.ndarray]:
+    """World->camera (R, T): x_cam = R @ X + T; camera x right, y down,
+    z forward."""
+    c = np.asarray(camera_center, np.float64)
+    fwd = np.asarray(target, np.float64) - c
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd])
+    T = -R @ c
+    return R, T
+
+
+def render_plane(texture: np.ndarray, size_m: float, R: np.ndarray,
+                 T: np.ndarray, K: np.ndarray, hw: Tuple[int, int],
+                 canvas: Optional[np.ndarray] = None,
+                 depth_buf: Optional[np.ndarray] = None
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render a textured square plane (object frame: [-s/2, s/2]^2 at z=0)
+    under pose x_cam = R @ X_obj + T. Z-buffered into (canvas, depth_buf).
+
+    Returns (canvas u8 gray, depth f32 meters with 0=invalid, mask u8)."""
+    h, w = hw
+    if canvas is None:
+        canvas = np.zeros((h, w), np.uint8)
+    if depth_buf is None:
+        depth_buf = np.zeros((h, w), np.float32)
+
+    s = size_m / 2.0
+    corners_obj = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]],
+                           np.float64)
+    cam = corners_obj @ R.T + T
+    if (cam[:, 2] <= 0.05).any():
+        return canvas, depth_buf, np.zeros((h, w), np.uint8)
+    pix = (cam @ K.T)
+    pix = pix[:, :2] / pix[:, 2:3]
+
+    ts = texture.shape[0]
+    src = np.array([[0, 0], [ts - 1, 0], [ts - 1, ts - 1], [0, ts - 1]],
+                   np.float32)
+    H = cv2.getPerspectiveTransform(src, pix.astype(np.float32))
+    warped = cv2.warpPerspective(texture, H, (w, h),
+                                 flags=cv2.INTER_LINEAR)
+    mask = cv2.warpPerspective(np.full((ts, ts), 255, np.uint8), H, (w, h),
+                               flags=cv2.INTER_NEAREST)
+
+    # analytic plane depth: lambda = (R^T T)_z / (R^T K^-1 p)_z per pixel
+    Kinv = np.linalg.inv(K)
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    rays = np.stack([us, vs, np.ones_like(us)], -1).astype(np.float64)
+    rays_cam = rays @ Kinv.T
+    denom = rays_cam @ R[:, 2]       # (R^T d)_z = col3(R) . d
+    numer = (R.T @ T)[2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        depth = np.where(np.abs(denom) > 1e-9, numer / denom, 0.0)
+    visible = (mask > 0) & (depth > 0.05) & (
+        (depth_buf == 0) | (depth < depth_buf))
+    canvas[visible] = warped[visible]
+    depth_buf[visible] = depth[visible].astype(np.float32)
+    obj_mask = (visible * 255).astype(np.uint8)
+    return canvas, depth_buf, obj_mask
+
+
+@dataclasses.dataclass
+class SyntheticObject:
+    object_id: str
+    texture: np.ndarray
+    size_m: float = 0.24
+
+    @classmethod
+    def make(cls, object_id: str, seed: int, size_m: float = 0.24):
+        return cls(object_id, make_texture(seed), size_m)
+
+
+def turntable_observations(obj: SyntheticObject, n_views: int = 12,
+                           distance: float = 0.8,
+                           elevations_deg: Sequence[float] = (65.0, 40.0),
+                           hw: Tuple[int, int] = (480, 640),
+                           K: np.ndarray = DEFAULT_K) -> List[Dict]:
+    """Orbit a camera around the object (object frame == world frame) and
+    render observations in the trainer's expected format.
+
+    ``n_views`` azimuth steps per elevation ring; multiple rings give the
+    viewpoint coverage a real turntable capture provides (the reference's
+    ~36-view captures, SURVEY.md section 3.1)."""
+    out = []
+    frame = 0
+    for el_deg in elevations_deg:
+        el = np.radians(el_deg)
+        for v in range(n_views):
+            az = 2 * np.pi * v / n_views
+            c = distance * np.array([np.cos(az) * np.cos(el),
+                                     np.sin(az) * np.cos(el),
+                                     np.sin(el)])
+            R, T = look_at(c, np.zeros(3))
+            canvas, depth, mask = render_plane(obj.texture, obj.size_m, R, T,
+                                               K, hw)
+            image = np.repeat(canvas[..., None], 3, axis=-1)
+            depth_u16 = np.round(depth * 1000).astype(np.uint16)
+            out.append(dict(image=image, depth=depth_u16, mask=mask, K=K,
+                            R=R, T=T, frame_number=frame))
+            frame += 1
+    return out
+
+
+def compose_scene(objects: Sequence[SyntheticObject],
+                  poses: Sequence[Tuple[np.ndarray, np.ndarray]],
+                  hw: Tuple[int, int] = (480, 640),
+                  K: np.ndarray = DEFAULT_K,
+                  background_seed: int = 99,
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Render several objects at given model->camera poses into one RGB-D
+    frame. Returns (image (H,W,3) u8, depth u16 mm with 0=invalid)."""
+    h, w = hw
+    rngb = np.random.default_rng(background_seed)
+    canvas = rngb.integers(90, 110, (h, w), np.uint8)
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 3.0)
+    depth_buf = np.zeros((h, w), np.float32)
+    for obj, (R, T) in zip(objects, poses):
+        canvas, depth_buf, _ = render_plane(obj.texture, obj.size_m, R, T, K,
+                                            hw, canvas, depth_buf)
+    image = np.repeat(canvas[..., None], 3, axis=-1)
+    depth_u16 = np.round(depth_buf * 1000).astype(np.uint16)
+    return image, depth_u16
+
+
+def facing_pose(rng: np.random.Generator, z: float = 0.8,
+                max_tilt: float = 0.5,
+                xy_extent: float = 0.18) -> Tuple[np.ndarray, np.ndarray]:
+    """A random model->camera pose with the plane roughly facing the camera."""
+    ax = rng.uniform(-max_tilt, max_tilt)
+    ay = rng.uniform(-max_tilt, max_tilt)
+    az = rng.uniform(-np.pi, np.pi)
+    def rot(axis, a):
+        c, s = np.cos(a), np.sin(a)
+        m = np.eye(3)
+        i, j = [(1, 2), (0, 2), (0, 1)][axis]
+        m[i, i] = c; m[j, j] = c; m[i, j] = -s; m[j, i] = s
+        return m
+    R = rot(0, ax) @ rot(1, ay) @ rot(2, az)
+    T = np.array([rng.uniform(-xy_extent, xy_extent),
+                  rng.uniform(-xy_extent, xy_extent),
+                  z + rng.uniform(-0.1, 0.1)])
+    return R, T

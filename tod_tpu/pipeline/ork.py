@@ -75,6 +75,11 @@ _JSON_PARAM_KEYS = {
 def _adapt_parameters(cell_type: str, parameters: Dict[str, Any]) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
     for key, value in (parameters or {}).items():
+        if cell_type == "TodTrainer" and key in ("search", "object_ids"):
+            # consumed by the training CLI (object iteration / LSH metadata),
+            # not by the TodTrainer blackbox itself — same as the reference,
+            # where the core `ork training` CLI reads them (conf/training.ork)
+            continue
         if cell_type in ("TodTrainer", "TodDetector") and key in _JSON_PARAM_KEYS:
             out_key = _JSON_PARAM_KEYS[key]
             if isinstance(value, (dict, list)):

@@ -1,0 +1,124 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tod_tpu.models.fused import FusedDetectorConfig, pack_models
+from tod_tpu.db.models import TodModel
+from tod_tpu.geometry.detection import GuessConfig
+from tod_tpu.geometry.ransac import RansacConfig
+from tod_tpu.ops.matching import hamming_topk, pad_db
+from tod_tpu.parallel import (
+    detect_batch_sharded,
+    make_mesh,
+    sharded_hamming_topk,
+    train_views_sharded,
+)
+from tod_tpu.parallel.detect import jit_detect_batch
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()
+
+
+def test_make_mesh_shapes(devices8):
+    mesh = make_mesh(n_data=4, n_db=2)
+    assert mesh.shape == {"data": 4, "db": 2}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_matching_exact(devices8, rng):
+    mesh = make_mesh(n_data=2, n_db=4)
+    chunk = 128
+    q = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    db = rng.integers(0, 256, (4 * chunk * 2, 32), dtype=np.uint8)
+    n_valid = len(db) - 37  # exercise the tail-masking path
+    dist_s, idx_s = sharded_hamming_topk(
+        mesh, jnp.asarray(q), jnp.asarray(db), n_valid, k=5, chunk=chunk)
+    dist_r, idx_r = hamming_topk(jnp.asarray(q), jnp.asarray(db), n_valid,
+                                 k=5, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(dist_s), np.asarray(dist_r))
+    # indices may differ only on exact distance ties; verify distances match
+    ref = np.asarray(dist_r)
+    got_idx = np.asarray(idx_s)
+    qb = np.unpackbits(q, axis=1, bitorder="little")
+    dbb = np.unpackbits(db, axis=1, bitorder="little")
+    for i in range(0, 64, 7):
+        d = (qb[i][None, :] != dbb[got_idx[i]]).sum(-1)
+        np.testing.assert_array_equal(d, ref[i])
+
+
+def test_train_views_sharded_runs(devices8, rng):
+    mesh = make_mesh(n_data=8, n_db=1)
+    v, h, w = 8, 96, 128
+    grays = jnp.asarray(rng.uniform(0, 255, (v, h, w)), jnp.float32)
+    masks = jnp.asarray(np.ones((v, h, w), np.uint8))
+    depths = jnp.full((v, h, w), 0.8, jnp.float32)
+    Ks = jnp.broadcast_to(jnp.asarray(
+        [[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]], jnp.float32), (v, 3, 3))
+    Rs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (v, 3, 3))
+    Ts = jnp.zeros((v, 3), jnp.float32)
+    with mesh:
+        fn = train_views_sharded(mesh, n_features=64, n_levels=1)
+        desc, world, valid = fn(grays, masks, depths, Ks, Rs, Ts)
+    assert desc.shape == (v, 64, 32)
+    assert world.shape == (v, 64, 3)
+    assert np.asarray(valid).any()
+
+
+def test_detect_batch_sharded_runs(devices8, rng):
+    mesh = make_mesh(n_data=2, n_db=4)
+    chunk = 128
+    # tiny synthetic db: 2 objects
+    models = [
+        TodModel(f"o{i}",
+                 rng.integers(0, 256, (100, 32), dtype=np.uint8),
+                 rng.uniform(-0.1, 0.1, (100, 3)).astype(np.float32))
+        for i in range(2)]
+    cfg = FusedDetectorConfig(
+        n_features=128, n_levels=1, db_chunk=chunk,
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=64, max_instances=2),
+            max_matches_per_object=64, object_batch=2))
+    db, ids = pack_models(models, chunk * 4)  # pad to 4 db-shards
+    b, h, w = 2, 96, 128
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    grays = jnp.asarray(rng.uniform(0, 255, (b, h, w)), jnp.float32)
+    depths = jnp.full((b, h, w), 800, jnp.uint16)
+    Ks = jnp.broadcast_to(jnp.asarray(
+        [[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]], jnp.float32), (b, 3, 3))
+    with mesh:
+        det = detect_batch_sharded(mesh, keys, grays, depths, Ks, db, cfg)
+    assert det.R.shape == (b, 2, 2, 3, 3)
+    assert det.accepted.shape == (b, 2, 2)
+
+
+def test_jit_detect_batch_compiles(devices8, rng):
+    mesh = make_mesh(n_data=2, n_db=4)
+    chunk = 128
+    models = [TodModel("o0", rng.integers(0, 256, (64, 32), dtype=np.uint8),
+                       rng.uniform(-0.1, 0.1, (64, 3)).astype(np.float32))]
+    cfg = FusedDetectorConfig(
+        n_features=128, n_levels=1, db_chunk=chunk,
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=64, max_instances=1),
+            max_matches_per_object=64, object_batch=1))
+    db, _ = pack_models(models, chunk * 4)
+    b, h, w = 2, 96, 128
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+    grays = jnp.asarray(rng.uniform(0, 255, (b, h, w)), jnp.float32)
+    depths = jnp.full((b, h, w), 800, jnp.uint16)
+    Ks = jnp.broadcast_to(jnp.asarray(
+        [[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]], jnp.float32), (b, 3, 3))
+    with mesh:
+        fn = jit_detect_batch(mesh, cfg)
+        det = fn(keys, grays, depths, Ks, db)
+        det.accepted.block_until_ready()
+    assert det.accepted.shape == (b, 1, 1)

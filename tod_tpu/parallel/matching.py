@@ -1,0 +1,68 @@
+"""DB-sharded descriptor matching.
+
+The tensor-parallel analog for this workload (SURVEY.md section 2c): the model
+descriptor database — the biggest tensor in the system — is sharded along its
+row axis across the 'db' mesh axis. Each device computes the exact Hamming
+top-k of every query against its local shard (an MXU matmul over the local
+rows), then the per-shard candidates are all_gather-ed over ICI and reduced to
+the global top-k. Exact: top-k of per-shard top-k's equals the global top-k.
+
+Queries can additionally be sharded along 'data' (frames/keypoints), making
+this the 2D-parallel form: each device owns a (query-block x db-shard) tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tod_tpu.ops.matching import hamming_topk
+
+
+def sharded_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
+                         n_db_valid, k: int = 5,
+                         chunk: int = 16384) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN with the DB sharded over mesh axis 'db' and queries sharded
+    over 'data'. ``db_u8`` rows must divide evenly by (n_db_shards * chunk);
+    pad with tod_tpu.ops.matching.pad_db and pass the true row count.
+
+    Returns globally-indexed ``(dist (Q,k), idx (Q,k))`` replicated over 'db'.
+    """
+    n_rows = db_u8.shape[0]
+    n_db_shards = mesh.shape["db"]
+    shard_rows = n_rows // n_db_shards
+    if shard_rows * n_db_shards != n_rows or shard_rows % chunk != 0:
+        raise ValueError(
+            f"db rows {n_rows} must divide into {n_db_shards} shards of "
+            f"chunk-multiple size (chunk={chunk})")
+
+    def local(q_blk, db_shard, n_valid):
+        shard_id = jax.lax.axis_index("db")
+        offset = shard_id * shard_rows
+        local_valid = jnp.clip(n_valid[0] - offset, 0, shard_rows)
+        dist, idx = hamming_topk(q_blk, db_shard, local_valid, k=k,
+                                 chunk=chunk)
+        idx = jnp.where(idx >= 0, idx + offset, -1)
+        # merge the per-shard top-k over the db axis (ICI all_gather)
+        all_d = jax.lax.all_gather(dist, "db", axis=0)   # (D, q_blk, k)
+        all_i = jax.lax.all_gather(idx, "db", axis=0)
+        d_flat = jnp.moveaxis(all_d, 0, 1).reshape(q_blk.shape[0], -1)
+        i_flat = jnp.moveaxis(all_i, 0, 1).reshape(q_blk.shape[0], -1)
+        nd, pos = jax.lax.top_k(-d_flat, k)
+        return -nd, jnp.take_along_axis(i_flat, pos, axis=1)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("db", None), P()),
+        out_specs=(P("data", None), P("data", None)),
+        # the streaming-top-k scan inits its carry from constants, which fails
+        # the varying-across-mesh type check; the code is manually verified
+        # (exactness asserted against the single-device matcher in tests)
+        check_vma=False)
+    n_valid_arr = jnp.asarray([n_db_valid], jnp.int32)
+    return fn(query_u8, db_u8, n_valid_arr)

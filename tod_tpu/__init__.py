@@ -15,6 +15,17 @@ Layering (bottom-up; see SURVEY.md section 7):
   parallel/  device-mesh sharding of matching and detection (pjit/shard_map)
 """
 
+import os as _os
+
+# The axon TPU plugin re-asserts its platform over the JAX_PLATFORMS env var;
+# make the documented env contract hold when the user asks for the CPU
+# backend (tests/CLIs set JAX_PLATFORMS=cpu). Other values stay with the
+# plugin's own resolution (config-updating 'axon' pre-registration breaks it).
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from tod_tpu.utils.config import merge_dict
 
 __version__ = "0.1.0"

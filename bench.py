@@ -28,6 +28,24 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def wait_for_devices(retries: int = 12, delay: float = 15.0):
+    """The TPU tunnel backend can refuse connections for a while after a
+    previous client disconnects; retry initialization until it comes up."""
+    import jax
+
+    for i in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            log(f"backend init retry {i + 1}/{retries}: {e}")
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay)
+    return jax.devices()
+
+
 def build_db(n_objects: int, seed: int = 0):
     """4 real trained models + perturbed decoys up to n_objects."""
     import jax
@@ -80,7 +98,7 @@ def main():
     n_features = int(os.environ.get("BENCH_FEATURES", "5000"))
 
     import jax
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {wait_for_devices()}")
 
     from tod_tpu.geometry.detection import GuessConfig
     from tod_tpu.geometry.ransac import RansacConfig

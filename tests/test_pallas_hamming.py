@@ -1,0 +1,52 @@
+"""Fused Pallas Hamming top-k kernel vs the reference XLA matcher."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tod_tpu.ops.matching import hamming_topk
+from tod_tpu.ops.pallas.hamming import (
+    DB_CHUNK,
+    Q_TILE,
+    hamming_topk_fused,
+    pack_db_bits,
+    pad_queries,
+)
+
+
+def test_fused_matches_reference(rng):
+    q = rng.integers(0, 256, (Q_TILE, 32), dtype=np.uint8)
+    db = rng.integers(0, 256, (2 * DB_CHUNK, 32), dtype=np.uint8)
+    n_valid = len(db) - 100
+    bits_t, pop = pack_db_bits(jnp.asarray(db))
+    d_f, i_f = hamming_topk_fused(jnp.asarray(q), bits_t, pop, n_valid, k=5)
+    d_r, i_r = hamming_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k=5,
+                            chunk=DB_CHUNK)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_r))
+    # index ties may differ only at equal distance; check realized distances
+    qb = np.unpackbits(q, axis=1, bitorder="little")
+    dbb = np.unpackbits(db, axis=1, bitorder="little")
+    idx = np.asarray(i_f)
+    for r in range(0, Q_TILE, 31):
+        dd = (qb[r][None] != dbb[idx[r]]).sum(-1)
+        np.testing.assert_array_equal(dd, np.asarray(d_f)[r].astype(int))
+
+
+def test_fused_handles_few_valid_rows(rng):
+    q = rng.integers(0, 256, (Q_TILE, 32), dtype=np.uint8)
+    db = rng.integers(0, 256, (DB_CHUNK, 32), dtype=np.uint8)
+    bits_t, pop = pack_db_bits(jnp.asarray(db))
+    d, i = hamming_topk_fused(jnp.asarray(q), bits_t, pop, 3, k=5)
+    i = np.asarray(i)
+    assert (i[:, :3] < 3).all() and (i[:, :3] >= 0).all()
+    assert (i[:, 3:] == -1).all()
+    assert (np.asarray(d)[:, 3:] >= 1e8).all()
+
+
+def test_pad_queries():
+    q = np.zeros((Q_TILE + 5, 32), np.uint8)
+    padded, n = pad_queries(q)
+    assert n == Q_TILE + 5
+    assert padded.shape[0] == 2 * Q_TILE

@@ -40,15 +40,23 @@ class FusedDetectorConfig:
     k_matches: int = 5          # knnMatch k (DescriptorMatcher.cpp:211)
     radius: float = 35.0        # Hamming radius cut (conf/detection.ork:38)
     db_chunk: int = 16384
+    matcher: str = "auto"       # "pallas" (fused kernel) | "xla" | "auto"
     guess: GuessConfig = GuessConfig(
         ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
                             sensor_error=0.01))
+
+    def use_pallas(self) -> bool:
+        if self.matcher == "auto":
+            return jax.default_backend() != "cpu"
+        return self.matcher == "pallas"
 
 
 class ModelDb(NamedTuple):
     """Device-resident packed model database (sharding-friendly pytree)."""
 
     descriptors: jax.Array   # (N_pad, 32) uint8
+    bits_t: jax.Array        # (256, N_pad) int8 — fused-kernel operand
+    popcounts: jax.Array     # (1, N_pad) int32
     points: jax.Array        # (N_pad, 3) float32
     obj_of_row: jax.Array    # (N_pad,) int32 (-1 for padding)
     n_valid: jax.Array       # () int32
@@ -56,6 +64,8 @@ class ModelDb(NamedTuple):
 
 
 def pack_models(models: Sequence[TodModel], chunk: int) -> Tuple[ModelDb, List[str]]:
+    from tod_tpu.ops.pallas.hamming import pack_db_bits
+
     if models:
         desc = np.concatenate([m.descriptors for m in models])
         pts = np.concatenate([m.points for m in models]).astype(np.float32)
@@ -69,8 +79,11 @@ def pack_models(models: Sequence[TodModel], chunk: int) -> Tuple[ModelDb, List[s
         spans = np.zeros(0, np.float32)
     padded, n = pad_db(desc, chunk)
     n_pad = len(padded) - n
+    bits_t, pop = pack_db_bits(jnp.asarray(padded), jnp.int8)
     db = ModelDb(
         descriptors=jnp.asarray(padded),
+        bits_t=bits_t,
+        popcounts=pop,
         points=jnp.asarray(np.concatenate([pts, np.zeros((n_pad, 3),
                                                          np.float32)])),
         obj_of_row=jnp.asarray(np.concatenate([obj, np.full(n_pad, -1,
@@ -78,6 +91,25 @@ def pack_models(models: Sequence[TodModel], chunk: int) -> Tuple[ModelDb, List[s
         n_valid=jnp.asarray(n, jnp.int32),
         spans=jnp.asarray(spans))
     return db, [m.object_id for m in models]
+
+
+def match_against_db(desc: jax.Array, db: ModelDb,
+                     cfg: FusedDetectorConfig) -> Tuple[jax.Array, jax.Array]:
+    """Top-k matching via the fused Pallas kernel (TPU) or the XLA
+    streaming matcher (CPU/tests). Both are exact."""
+    if cfg.use_pallas():
+        from tod_tpu.ops.pallas.hamming import Q_TILE, hamming_topk_fused
+
+        q = desc.shape[0]
+        pad = (-q) % Q_TILE
+        if pad:
+            desc = jnp.concatenate(
+                [desc, jnp.zeros((pad, 32), jnp.uint8)])
+        dist, rows = hamming_topk_fused(desc, db.bits_t, db.popcounts,
+                                        db.n_valid, k=cfg.k_matches)
+        return dist[:q], rows[:q]
+    return hamming_topk(desc, db.descriptors, db.n_valid,
+                        k=cfg.k_matches, chunk=cfg.db_chunk)
 
 
 def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,
@@ -88,8 +120,7 @@ def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,
         gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
         scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
 
-    dist, rows = hamming_topk(desc, db.descriptors, db.n_valid,
-                              k=cfg.k_matches, chunk=cfg.db_chunk)
+    dist, rows = match_against_db(desc, db, cfg)
     m_valid = (rows >= 0) & (dist <= cfg.radius) & kps.valid[:, None]
     safe_rows = jnp.maximum(rows, 0)
     obj_idx = jnp.where(m_valid, db.obj_of_row[safe_rows], -1)

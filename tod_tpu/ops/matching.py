@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG_DIST = jnp.float32(1e9)
+# plain python float: module-level jnp constants would force backend init at
+# import time (and the TPU tunnel backend dislikes that)
+BIG_DIST = 1e9
 
 
 def unpack_bits(desc_u8: jax.Array, dtype=jnp.bfloat16) -> jax.Array:

@@ -70,8 +70,10 @@ def jit_detect_batch(mesh: Mesh, cfg: FusedDetectorConfig):
     """jit detect_batch_sharded with explicit input shardings on the mesh."""
     data = NamedSharding(mesh, P("data"))
     db_shard = NamedSharding(mesh, P("db"))
+    db_shard_t = NamedSharding(mesh, P(None, "db"))
     repl = NamedSharding(mesh, P())
-    db_shardings = ModelDb(descriptors=db_shard, points=repl,
+    db_shardings = ModelDb(descriptors=db_shard, bits_t=db_shard_t,
+                           popcounts=db_shard_t, points=repl,
                            obj_of_row=repl, n_valid=repl, spans=repl)
     return jax.jit(
         functools.partial(detect_batch_sharded, mesh, cfg=cfg),

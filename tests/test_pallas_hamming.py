@@ -50,3 +50,25 @@ def test_pad_queries():
     padded, n = pad_queries(q)
     assert n == Q_TILE + 5
     assert padded.shape[0] == 2 * Q_TILE
+
+
+def test_fused_radius_semantics(rng):
+    """radius-limited results == top-k results with > radius entries dropped
+    (the reference's knn+truncate contract, DescriptorMatcher.cpp:211-220)."""
+    q = rng.integers(0, 256, (Q_TILE, 32), dtype=np.uint8)
+    db = rng.integers(0, 256, (2 * DB_CHUNK, 32), dtype=np.uint8)
+    # plant close neighbors for some queries
+    db[:100] = q[:100] ^ rng.integers(0, 2, (100, 32), dtype=np.uint8)
+    bits_t, pop = pack_db_bits(jnp.asarray(db))
+    n = len(db)
+    d_all, i_all = hamming_topk_fused(jnp.asarray(q), bits_t, pop, n, k=5)
+    d_rad, i_rad = hamming_topk_fused(jnp.asarray(q), bits_t, pop, n, k=5,
+                                      radius=35)
+    d_all, i_all = np.asarray(d_all), np.asarray(i_all)
+    d_rad, i_rad = np.asarray(d_rad), np.asarray(i_rad)
+    for r in range(Q_TILE):
+        keep = d_all[r] <= 35
+        np.testing.assert_array_equal(d_rad[r][: keep.sum()], d_all[r][keep])
+        np.testing.assert_array_equal(i_rad[r][: keep.sum()], i_all[r][keep])
+        assert (i_rad[r][keep.sum():] == -1).all()
+        assert (d_rad[r][keep.sum():] >= 1e8).all()

@@ -106,7 +106,8 @@ def match_against_db(desc: jax.Array, db: ModelDb,
             desc = jnp.concatenate(
                 [desc, jnp.zeros((pad, 32), jnp.uint8)])
         dist, rows = hamming_topk_fused(desc, db.bits_t, db.popcounts,
-                                        db.n_valid, k=cfg.k_matches)
+                                        db.n_valid, k=cfg.k_matches,
+                                        radius=cfg.radius)
         return dist[:q], rows[:q]
     return hamming_topk(desc, db.descriptors, db.n_valid,
                         k=cfg.k_matches, chunk=cfg.db_chunk)

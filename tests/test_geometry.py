@@ -311,3 +311,52 @@ def test_multi_instance_detection(rng):
     d = np.linalg.norm(got_ts[:, None] - want_ts[None], axis=-1)
     assert (d.min(axis=1) < 5e-3).all()
     assert set(d.argmin(axis=1)) == {0, 1}
+
+
+def test_active_object_selection(rng):
+    """With many DB objects, only the top-by-match-count get RANSAC'd; a true
+    object beyond index max_active_objects must still be found."""
+    import jax
+    from tod_tpu.geometry.detection import (GuessConfig,
+                                            detect_frame_from_matches)
+    from tod_tpu.geometry.ransac import RansacConfig
+
+    n_obj = 30
+    true_obj = 27  # beyond the active window if selection were naive
+    model = rng.uniform(-0.1, 0.1, (40, 3)).astype(np.float32)
+    R = _random_rotation(rng)
+    T = np.array([0.0, 0.05, 0.8], np.float32)
+    cam = model @ R.T + T
+
+    q = 80
+    k = 2
+    obj_idx = np.full((q, k), -1, np.int32)
+    valid = np.zeros((q, k), bool)
+    dist = np.full((q, k), 20.0, np.float32)
+    train_pts = np.zeros((q, k, 3), np.float32)
+    query_pts = np.full((q, 3), np.nan, np.float32)
+    query_xy = rng.uniform(50, 400, (q, 2)).astype(np.float32)
+    # 40 true matches on the true object
+    obj_idx[:40, 0] = true_obj
+    valid[:40, 0] = True
+    train_pts[:40, 0] = model
+    query_pts[:40] = cam
+    # sprinkle weak matches on other objects (1 each)
+    for o in range(20):
+        obj_idx[40 + o, 0] = o
+        valid[40 + o, 0] = True
+        train_pts[40 + o, 0] = rng.uniform(-0.1, 0.1, 3)
+        query_pts[40 + o] = rng.uniform(-0.2, 0.2, 3) + [0, 0, 0.8]
+
+    spans = np.full(n_obj, 0.3, np.float32)
+    cfg = GuessConfig(ransac=RansacConfig(n_hypotheses=256, min_inliers=8,
+                                          max_instances=2),
+                      max_matches_per_object=64, max_active_objects=4)
+    _, det = detect_frame_from_matches(
+        jax.random.PRNGKey(0), jnp.asarray(obj_idx), jnp.asarray(dist),
+        jnp.asarray(valid), jnp.asarray(train_pts), jnp.asarray(query_pts),
+        jnp.asarray(query_xy), jnp.asarray(spans), cfg)
+    acc = np.asarray(det.accepted)
+    assert acc.shape == (n_obj, 2)
+    assert acc[true_obj].any()
+    np.testing.assert_allclose(np.asarray(det.T)[true_obj, 0], T, atol=5e-3)

@@ -101,3 +101,29 @@ def test_toposort_orders_and_detects_cycles():
         assert pos[u] < pos[v]
     with pytest.raises(ValueError):
         toposort(3, [(0, 1), (1, 2), (2, 0)])
+
+
+def test_compress_model_dedup(rng):
+    from tod_tpu.ops.compress import compress_model
+
+    base_desc = rng.integers(0, 256, (50, 32), dtype=np.uint8)
+    base_pts = rng.uniform(-0.1, 0.1, (50, 3)).astype(np.float32)
+    # duplicates: tiny descriptor + point perturbations of the first 30
+    flip = np.zeros((30, 32), np.uint8)
+    flip[:, 0] = 3  # 2 bit flips
+    dup_desc = base_desc[:30] ^ flip
+    dup_pts = base_pts[:30] + 0.001
+    desc = np.concatenate([base_desc, dup_desc])
+    pts = np.concatenate([base_pts, dup_pts])
+
+    out_desc, out_pts = compress_model(desc, pts, hamming_threshold=8,
+                                       point_threshold=0.01)
+    assert len(out_desc) == 50  # all duplicates removed, originals kept
+    np.testing.assert_array_equal(out_desc, base_desc)
+
+    # same appearance at a DIFFERENT place must survive
+    far_pts = base_pts[:10] + 0.5
+    desc2 = np.concatenate([base_desc, base_desc[:10]])
+    pts2 = np.concatenate([base_pts, far_pts])
+    out_desc2, _ = compress_model(desc2, pts2)
+    assert len(out_desc2) == 60

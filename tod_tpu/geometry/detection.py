@@ -32,8 +32,13 @@ class GuessConfig:
     """Static shape/algorithm knobs for the frame-level pose search."""
 
     ransac: RansacConfig = RansacConfig()
-    max_matches_per_object: int = 1024  # M: per-object match capacity
+    max_matches_per_object: int = 512   # M: per-object match capacity
     object_batch: int = 8               # objects vmapped per lax.map step
+    # Pose search runs only on the top-N objects by within-radius match
+    # count: geometry cost stays bounded as the DB grows (a frame physically
+    # contains few objects; the reference iterates every matched object,
+    # GuessGenerator.cpp:170, which does not scale past tens of models).
+    max_active_objects: int = 16
 
     @property
     def sensor_error(self) -> float:
@@ -42,14 +47,16 @@ class GuessConfig:
 
 def cluster_matches(obj_idx: jax.Array, dist: jax.Array, valid: jax.Array,
                     train_pts: jax.Array, query_pts: jax.Array,
-                    query_xy: jax.Array, n_objects: int,
+                    query_xy: jax.Array, object_ids: jax.Array,
                     max_matches: int) -> ObjectMatches:
     """Group flat (Q,k) matches into per-object fixed-capacity stores.
 
     ``obj_idx``/``dist``/``valid``: (Q,k); ``train_pts``: (Q,k,3);
     ``query_pts``: (Q,3) 3D points of the query keypoints (NaN = invalid —
     ClusterPerObject's NaN skip, adjacency_ransac.cpp:187-190);
-    ``query_xy``: (Q,2). Returns ObjectMatches with leading dim ``n_objects``.
+    ``query_xy``: (Q,2); ``object_ids``: (A,) int32 model indices to cluster
+    (pass ``jnp.arange(n_objects)`` for all). Returns ObjectMatches with
+    leading dim A.
 
     The reference keeps every match; a static capacity needs an eviction
     policy. Evicting by distance alone lets repetitive-texture near-duplicates
@@ -69,7 +76,7 @@ def cluster_matches(obj_idx: jax.Array, dist: jax.Array, valid: jax.Array,
     priority = rank_flat * 300.0 + dist_flat  # rank-major, distance-minor
 
     def one_object(o):
-        mask = valid_flat & (obj_flat == o)
+        mask = valid_flat & (obj_flat == o) & (o >= 0)
         score = jnp.where(mask, -priority, -jnp.inf)
         top, sel = jax.lax.top_k(score, max_matches)
         ok = jnp.isfinite(top)
@@ -81,7 +88,7 @@ def cluster_matches(obj_idx: jax.Array, dist: jax.Array, valid: jax.Array,
             query_xy=jnp.where(ok[:, None], query_xy[kp], 0.0),
             valid=ok)
 
-    return jax.vmap(one_object)(jnp.arange(n_objects, dtype=jnp.int32))
+    return jax.vmap(one_object)(jnp.asarray(object_ids, jnp.int32))
 
 
 def detect_objects(key: jax.Array, matches: ObjectMatches, spans: jax.Array,
@@ -108,10 +115,47 @@ def detect_frame_from_matches(
         valid: jax.Array, train_pts: jax.Array, query_pts: jax.Array,
         query_xy: jax.Array, spans: jax.Array,
         cfg: GuessConfig) -> Tuple[ObjectMatches, ObjectDetections]:
-    """cluster + detect in one jittable call (GuessGenerator::process)."""
+    """cluster + detect in one jittable call (GuessGenerator::process).
+
+    Returns detections with leading dim O (all objects); objects outside the
+    top ``max_active_objects`` by match count carry accepted=False rows.
+    """
     n_objects = spans.shape[0]
+    n_active = min(cfg.max_active_objects, n_objects)
+
+    if n_active < n_objects:
+        # per-object valid-match counts -> the active set
+        q_finite = jnp.isfinite(query_pts).all(-1)
+        v = valid & q_finite[:, None]
+        counts = jnp.zeros(n_objects, jnp.int32).at[
+            jnp.maximum(obj_idx, 0).reshape(-1)].add(
+                v.reshape(-1).astype(jnp.int32))
+        top_counts, active = jax.lax.top_k(counts, n_active)
+        active = jnp.where(top_counts > 0, active, -1)
+    else:
+        active = jnp.arange(n_objects, dtype=jnp.int32)
+
     clustered = cluster_matches(obj_idx, dist, valid, train_pts, query_pts,
-                                query_xy, n_objects,
+                                query_xy, active,
                                 cfg.max_matches_per_object)
-    detections = detect_objects(key, clustered, spans, cfg)
-    return clustered, detections
+    act_spans = spans[jnp.maximum(active, 0)]
+    det = detect_objects(key, clustered, act_spans, cfg)
+
+    if n_active == n_objects:
+        return clustered, det
+
+    # scatter active-object results back to the full object axis; inactive
+    # slots target an out-of-bounds row and are dropped (never clobber row 0)
+    n_inst = det.R.shape[1]
+    safe = jnp.where(active >= 0, active, n_objects)
+    acc = det.accepted & (active >= 0)[:, None]
+    full = ObjectDetections(
+        R=jnp.zeros((n_objects, n_inst, 3, 3)).at[safe].set(
+            det.R, mode="drop"),
+        T=jnp.zeros((n_objects, n_inst, 3)).at[safe].set(det.T, mode="drop"),
+        n_inliers=jnp.zeros((n_objects, n_inst), jnp.int32).at[safe].set(
+            jnp.where(acc, det.n_inliers, 0), mode="drop"),
+        accepted=jnp.zeros((n_objects, n_inst), bool).at[safe].set(
+            acc, mode="drop"),
+    )
+    return clustered, full

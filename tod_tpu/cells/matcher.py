@@ -37,14 +37,30 @@ def _jitted_match(k: int):
     return run
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_match_l2(k: int):
+    from tod_tpu.ops.matching import l2_topk
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(query, db, n_valid, k=k):
+        d_sq, idx = l2_topk(query, db, n_valid, k=k,
+                            chunk=min(DB_CHUNK, 4096))
+        return jnp.sqrt(d_sq), idx  # report plain L2 like cv::BFMatcher
+
+    return run
+
+
 class MatcherIndex:
     """The packed on-device model database (the matcher_->add analog,
     DescriptorMatcher.cpp:126-128): stacked descriptors, 3D points, per-row
-    object ids, per-object spans."""
+    object ids, per-object spans. Binary (uint8, Hamming/ORB) and float
+    (L2, the SIFT path) descriptor models are both supported."""
 
     def __init__(self, models: List):
         self.object_ids = [m.object_id for m in models]
         self.spans = {m.object_id: m.span for m in models}
+        self.is_binary = (not models
+                          or models[0].descriptors.dtype == np.uint8)
         if models:
             desc = np.concatenate([m.descriptors for m in models])
             pts = np.concatenate([m.points for m in models])
@@ -117,7 +133,11 @@ class DescriptorMatcher(Cell):
         self.index = MatcherIndex(models)
 
     def process(self) -> None:
-        query = np.ascontiguousarray(self.inputs["descriptors"], np.uint8)
+        query = np.ascontiguousarray(self.inputs["descriptors"])
+        if self.index.is_binary:
+            query = query.astype(np.uint8)
+        else:
+            query = query.astype(np.float32)
         q = len(query)
         idx = self.index
         if idx.n_descriptors == 0:
@@ -133,7 +153,8 @@ class DescriptorMatcher(Cell):
             self.outputs["spans"] = idx.spans
             return
 
-        dist, rows = _jitted_match(self._k)(
+        match_fn = (_jitted_match if idx.is_binary else _jitted_match_l2)
+        dist, rows = match_fn(self._k)(
             jnp.asarray(query), idx.descriptors, idx.n_descriptors)
         dist = np.asarray(jax.device_get(dist))
         rows = np.asarray(jax.device_get(rows))

@@ -52,7 +52,13 @@ def write_model(db: ObjectDb, object_id: str, descriptors: np.ndarray,
                 points: np.ndarray, method: str = "TOD") -> str:
     """Persist a trained model; ModelFiller + ModelWriter analog
     (src/training/ModelFiller.cpp:20-26, trainer.py:30)."""
-    descriptors = np.ascontiguousarray(descriptors, dtype=np.uint8)
+    # binary (uint8/ORB) kept as-is for format parity; float descriptors
+    # (the SIFT/L2 path) stored as float32
+    descriptors = np.ascontiguousarray(descriptors)
+    if not np.issubdtype(descriptors.dtype, np.floating):
+        descriptors = descriptors.astype(np.uint8)
+    else:
+        descriptors = descriptors.astype(np.float32)
     pts = np.asarray(points, dtype=np.float32)
     if pts.ndim == 3:  # accept the reference's (1, N, 3) layout
         pts = pts.reshape(-1, 3)
@@ -65,7 +71,9 @@ def write_model(db: ObjectDb, object_id: str, descriptors: np.ndarray,
 
 
 def _model_from_document(doc: Document) -> TodModel:
-    descriptors = np.asarray(doc.get_attachment("descriptors"), dtype=np.uint8)
+    descriptors = np.asarray(doc.get_attachment("descriptors"))
+    if not np.issubdtype(descriptors.dtype, np.floating):
+        descriptors = descriptors.astype(np.uint8)
     points = np.asarray(doc.get_attachment("points"), dtype=np.float32)
     if points.ndim == 3:
         points = points.reshape(-1, 3)

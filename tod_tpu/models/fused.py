@@ -153,14 +153,23 @@ class FusedDetector:
         self._key = jax.random.PRNGKey(seed)
         self._fn = _jitted_detect(self.config)
 
-    def detect_raw(self, image: np.ndarray, depth: np.ndarray,
-                   K: np.ndarray) -> Tuple[Keypoints, ObjectDetections]:
-        """Device-level API (returns stacked jax arrays; no host sync)."""
+    def prepare_frame(self, image: np.ndarray, depth: np.ndarray,
+                      K: np.ndarray):
+        """Upload one frame to the device once (gray f32, depth, K)."""
         img = jnp.asarray(np.asarray(image), jnp.float32)
         gray = rgb_to_gray(img) if img.ndim == 3 else img
+        return gray, jnp.asarray(np.asarray(depth)), jnp.asarray(
+            np.asarray(K, np.float32))
+
+    def detect_raw(self, image, depth, K) -> Tuple[Keypoints, ObjectDetections]:
+        """Device-level API (returns stacked jax arrays; no host sync).
+        Accepts numpy frames or pre-uploaded device arrays (prepare_frame)."""
+        if isinstance(image, jax.Array) and image.ndim == 2:
+            gray, depth_j, K_j = image, depth, K
+        else:
+            gray, depth_j, K_j = self.prepare_frame(image, depth, K)
         self._key, sub = jax.random.split(self._key)
-        return self._fn(sub, gray, jnp.asarray(np.asarray(depth)),
-                        jnp.asarray(np.asarray(K, np.float32)), self.db)
+        return self._fn(sub, gray, depth_j, K_j, self.db)
 
     def detect(self, image: np.ndarray, depth: np.ndarray,
                K: np.ndarray) -> List[PoseResult]:

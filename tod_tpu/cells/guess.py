@@ -130,3 +130,22 @@ class GuessGenerator(Cell):
         self.outputs["pose_results"] = pose_results
         self.outputs["Rs"] = rs
         self.outputs["Ts"] = ts
+
+        viz = self.params["visualize"]
+        if viz:
+            # headless analog of the reference's highgui windows
+            # (GuessGenerator.cpp:163-167, 211-221): per-object cluster +
+            # inlier-keypoint overlays saved as PNGs under the given prefix.
+            import cv2
+
+            from tod_tpu.utils.visualize import draw_clusters
+
+            prefix = viz if isinstance(viz, str) else "/tmp/tod_tpu_viz"
+            image = np.asarray(self.inputs["image"])
+            flat_valid = matches.valid.any(axis=1) & kp_valid
+            cluster = np.where(matches.valid, matches.obj_idx, -1).max(axis=1)
+            overlay = draw_clusters(image, kp_xy[flat_valid],
+                                    cluster[flat_valid])
+            self._viz_counter = getattr(self, "_viz_counter", 0) + 1
+            cv2.imwrite(f"{prefix}_clusters_{self._viz_counter:04d}.png",
+                        overlay)

@@ -179,21 +179,21 @@ def main():
     try:
         import jax.numpy as jnp
         from tod_tpu.native import hamming_knn_cpu
-        from tod_tpu.ops.matching import hamming_topk
+        from tod_tpu.models.fused import match_against_db
+        from tod_tpu.ops.pallas.hamming import pad_queries
 
         q = np.random.default_rng(1).integers(
             0, 256, (n_features, 32), dtype=np.uint8)
-        jq = jnp.asarray(q)
-        fn = jax.jit(lambda a: hamming_topk(a, det.db.descriptors,
-                                            det.db.n_valid, k=5,
-                                            chunk=cfg.db_chunk))
-        fn(jq)[0].block_until_ready()
+        qp, _ = pad_queries(q)
+        jq = jnp.asarray(qp)
+        fn = jax.jit(lambda a: match_against_db(a, det.db, cfg))
+        float(fn(jq)[0].sum())  # hard sync (block_until_ready lies on axon)
         t0 = time.time()
         reps = 10
         for _ in range(reps):
             d, _ = fn(jq)
-        d.block_until_ready()
-        tpu_rate = reps * len(q) * n_desc / (time.time() - t0)
+        float(d.sum())
+        tpu_rate = reps * len(qp) * n_desc / (time.time() - t0)
 
         n_cpu_db = min(n_desc, 100_000)
         db_cpu = np.asarray(jax.device_get(det.db.descriptors))[:n_cpu_db]

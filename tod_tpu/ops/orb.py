@@ -147,29 +147,79 @@ def keypoint_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+N_ANGLE_BINS = 32       # steered-BRIEF orientation quantization (the ORB
+                        # paper itself discretizes to 2*pi/30; we use 32)
+PATCH_R = 18            # rotated pattern radius: 13*sqrt(2) ~ 18.4, clipped
+PATCH_W = 2 * PATCH_R + 1
+
+
+@functools.lru_cache(maxsize=None)
+def _binned_diff_tables(n_bins: int = N_ANGLE_BINS) -> np.ndarray:
+    """(n_bins, PATCH_W^2, 256) int8 difference tables: column (b, :, i) has
+    +1 at the patch-local index of rotated p2_i and -1 at rotated p1_i for
+    angle bin b, so  bit_i = (patch . column > 0)  ==  I(p1) < I(p2)."""
+    pattern = brief_pattern().astype(np.float64)          # (256, 2, 2)
+    tables = np.zeros((n_bins, PATCH_W * PATCH_W, N_BITS), np.int8)
+    for b in range(n_bins):
+        theta = 2.0 * np.pi * b / n_bins
+        ca, sa = np.cos(theta), np.sin(theta)
+        rx = np.clip(np.round(pattern[..., 0] * ca - pattern[..., 1] * sa),
+                     -PATCH_R, PATCH_R).astype(int)
+        ry = np.clip(np.round(pattern[..., 0] * sa + pattern[..., 1] * ca),
+                     -PATCH_R, PATCH_R).astype(int)
+        idx = (ry + PATCH_R) * PATCH_W + (rx + PATCH_R)   # (256, 2)
+        for i in range(N_BITS):
+            tables[b, idx[i, 1], i] += 1                  # + I(p2)
+            tables[b, idx[i, 0], i] -= 1                  # - I(p1)
+    return tables
+
+
+def extract_patches(image: jax.Array, xy: jax.Array,
+                    radius: int = PATCH_R) -> jax.Array:
+    """(K, 2R+1, 2R+1) patches via vmapped dynamic_slice — the structured
+    (row-contiguous) gather the TPU handles well; JAX clamps out-of-range
+    starts, and real keypoints carry an EDGE_THRESHOLD margin anyway."""
+
+    def one(p):
+        return jax.lax.dynamic_slice(
+            image, (p[1] - radius, p[0] - radius),
+            (2 * radius + 1, 2 * radius + 1))
+
+    return jax.vmap(one)(xy)
+
+
 def brief_descriptors(blurred: jax.Array, xy: jax.Array,
                       angle: jax.Array) -> jax.Array:
     """Steered BRIEF-256 bits for keypoints at integer level coords.
 
     ``blurred``: the Gaussian-smoothed level image; ``xy``: (K,2) int32;
-    ``angle``: (K,) radians. Returns (K, 32) uint8, 8 pairs per byte LSB-first
-    (cv::ORB bit packing; descriptor format parity with the reference's
-    N x 32 CV_8U model attachment, DescriptorMatcher.cpp:74-80).
+    ``angle``: (K,) radians. Returns (K, 32) uint8, 8 pairs per byte
+    LSB-first (cv::ORB bit packing; descriptor format parity with the
+    reference's N x 32 CV_8U model attachment, DescriptorMatcher.cpp:74-80).
+
+    TPU-first formulation: instead of 512 scattered per-keypoint gathers
+    (XLA gathers are element-at-a-time on TPU), extract each keypoint's
+    37x37 patch with one structured slice and evaluate ALL angle bins' bit
+    comparisons as one (K, 1369) x (1369, n_bins*256) MXU matmul against
+    static +1/-1 difference tables, then select each keypoint's bin. The
+    angle is quantized to 2*pi/32 (the ORB paper's steered-BRIEF table uses
+    2*pi/30) — self-consistent between training and detection.
     """
-    h, w = blurred.shape
-    pattern = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256,2,2)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)                     # (K,)
-    px = pattern[None, :, :, 0]                                  # (1,256,2)
-    py = pattern[None, :, :, 1]
-    # steer + round, like cv::ORB's cvRound(x*cos - y*sin) sampling
-    rx = jnp.round(px * ca[:, None, None] - py * sa[:, None, None])
-    ry = jnp.round(px * sa[:, None, None] + py * ca[:, None, None])
-    gx = jnp.clip(xy[:, 0, None, None] + rx.astype(jnp.int32), 0, w - 1)
-    gy = jnp.clip(xy[:, 1, None, None] + ry.astype(jnp.int32), 0, h - 1)
-    flat_idx = (gy * w + gx).reshape(xy.shape[0], -1)            # (K, 512)
-    vals = jnp.take(blurred.ravel(), flat_idx, axis=0).reshape(
-        xy.shape[0], N_BITS, 2)
-    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint8)     # (K,256)
+    k_count = xy.shape[0]
+    patches = extract_patches(blurred, xy).reshape(k_count, -1)  # (K, 1369)
+    tables = jnp.asarray(np.ascontiguousarray(
+        _binned_diff_tables().transpose(1, 0, 2).reshape(
+            PATCH_W * PATCH_W, -1)), jnp.bfloat16)       # (1369, bins*256)
+    diffs = jnp.dot(patches.astype(jnp.bfloat16), tables,
+                    preferred_element_type=jnp.float32)  # (K, bins*256)
+    diffs = diffs.reshape(k_count, N_ANGLE_BINS, N_BITS)
+
+    two_pi = 2.0 * np.pi
+    bins = jnp.mod(jnp.round(angle / (two_pi / N_ANGLE_BINS)),
+                   N_ANGLE_BINS).astype(jnp.int32)       # (K,)
+    onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=diffs.dtype)
+    selected = jnp.einsum("kbi,kb->ki", diffs, onehot)   # (K, 256)
+    bits = (selected > 0).astype(jnp.uint8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
     return (bits.reshape(-1, 32, 8) * weights).sum(axis=-1, dtype=jnp.uint8)
 

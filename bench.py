@@ -186,12 +186,14 @@ def main():
             0, 256, (n_features, 32), dtype=np.uint8)
         qp, _ = pad_queries(q)
         jq = jnp.asarray(qp)
-        fn = jax.jit(lambda a: match_against_db(a, det.db, cfg))
-        float(fn(jq)[0].sum())  # hard sync (block_until_ready lies on axon)
+        # db passed as an ARGUMENT: closing over it bakes 300+MB of
+        # constants into the HLO and the tunnel rejects the upload (413)
+        fn = jax.jit(lambda a, db: match_against_db(a, db, cfg))
+        float(fn(jq, det.db)[0].sum())  # hard sync (block_until_ready lies)
         t0 = time.time()
         reps = 10
         for _ in range(reps):
-            d, _ = fn(jq)
+            d, _ = fn(jq, det.db)
         float(d.sum())
         tpu_rate = reps * len(qp) * n_desc / (time.time() - t0)
 

@@ -142,6 +142,47 @@ def _jitted_detect(cfg: FusedDetectorConfig):
     return jax.jit(functools.partial(detect_frame, cfg=cfg))
 
 
+# ---------------------------------------------------------------------------
+# Staged execution: three chained XLA programs.
+#
+# Empirically, fusing the whole frame into ONE program halves the matcher's
+# throughput (XLA's scheduling around the Pallas custom-call loses the
+# kernel's pipelining when ORB intermediates share the program). Three
+# chained async dispatches cost microseconds and keep every stage at its
+# standalone speed (measured: 76ms fused vs 36ms chained for orb+match).
+# ---------------------------------------------------------------------------
+
+
+def _stage_features(gray, depth, K, cfg: FusedDetectorConfig):
+    kps, desc = orb_detect_and_compute(
+        gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
+        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
+    depth_m = to_metric_depth(depth)
+    query_pts = depth_to_3d_sparse(depth_m, K, kps.xy)
+    query_pts = jnp.where(kps.valid[:, None], query_pts, jnp.nan)
+    return kps, desc, query_pts
+
+
+def _stage_geometry(key, kps_xy, kps_valid, dist, rows, query_pts, db,
+                    cfg: FusedDetectorConfig):
+    m_valid = (rows >= 0) & (dist <= cfg.radius) & kps_valid[:, None]
+    safe_rows = jnp.maximum(rows, 0)
+    obj_idx = jnp.where(m_valid, db.obj_of_row[safe_rows], -1)
+    train_pts = db.points[safe_rows]
+    _, detections = detect_frame_from_matches(
+        key, obj_idx, dist, m_valid, train_pts, query_pts, kps_xy,
+        db.spans, cfg.guess)
+    return detections
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_stages(cfg: FusedDetectorConfig):
+    s1 = jax.jit(functools.partial(_stage_features, cfg=cfg))
+    s2 = jax.jit(functools.partial(match_against_db, cfg=cfg))
+    s3 = jax.jit(functools.partial(_stage_geometry, cfg=cfg))
+    return s1, s2, s3
+
+
 class FusedDetector:
     """Convenience wrapper: load models once, detect many frames."""
 
@@ -151,7 +192,7 @@ class FusedDetector:
         self.config = config or FusedDetectorConfig()
         self.db, self.object_ids = pack_models(models, self.config.db_chunk)
         self._key = jax.random.PRNGKey(seed)
-        self._fn = _jitted_detect(self.config)
+        self._stages = _jitted_stages(self.config)
 
     def prepare_frame(self, image: np.ndarray, depth: np.ndarray,
                       K: np.ndarray):
@@ -169,7 +210,33 @@ class FusedDetector:
         else:
             gray, depth_j, K_j = self.prepare_frame(image, depth, K)
         self._key, sub = jax.random.split(self._key)
-        return self._fn(sub, gray, depth_j, K_j, self.db)
+        s1, s2, s3 = self._stages
+        kps, desc, query_pts = s1(gray, depth_j, K_j)
+        dist, rows = s2(desc, self.db)
+        det = s3(sub, kps.xy, kps.valid, dist, rows, query_pts, self.db)
+        return kps, det
+
+    @functools.lru_cache(maxsize=2)
+    def _batched_stages(self):
+        cfg = self.config
+        s1 = jax.jit(jax.vmap(functools.partial(_stage_features, cfg=cfg)))
+        s2 = jax.jit(jax.vmap(functools.partial(match_against_db, cfg=cfg),
+                              in_axes=(0, None)))
+        s3 = jax.jit(jax.vmap(functools.partial(_stage_geometry, cfg=cfg),
+                              in_axes=(0, 0, 0, 0, 0, 0, None)))
+        return s1, s2, s3
+
+    def detect_batch_raw(self, grays, depths, Ks):
+        """Batched device-level API: (B,H,W) device arrays in, stacked
+        (B, O, I, ...) detections out."""
+        s1, s2, s3 = self._batched_stages()
+        b = grays.shape[0]
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, b)
+        kps, desc, query_pts = s1(grays, depths, Ks)
+        dist, rows = s2(desc, self.db)
+        det = s3(keys, kps.xy, kps.valid, dist, rows, query_pts, self.db)
+        return kps, det
 
     def detect(self, image: np.ndarray, depth: np.ndarray,
                K: np.ndarray) -> List[PoseResult]:

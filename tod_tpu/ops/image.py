@@ -43,20 +43,19 @@ def gaussian_blur(image: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.A
     the difference only touches a 3px frame that the keypoint edge margin
     excludes anyway.
     """
-    k = jnp.asarray(_gaussian_kernel1d(ksize, sigma))
+    k = _gaussian_kernel1d(ksize, sigma)
     pad = ksize // 2
+    h, w = image.shape
     x = image.astype(jnp.float32)
-    # Horizontal then vertical pass, via conv on a (1,1,H,W) view.
-    # precision=highest: TPU convs otherwise round through bf16, which is too
-    # coarse for descriptor-sampling comparisons against the CPU oracle.
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST)[0, 0]
-    x = jnp.pad(x, ((pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST)[0, 0]
+    # Shifted multiply-adds instead of lax.conv: XLA's small spatial convs on
+    # TPU cost several ms in layout shuffling, while 2*ksize fused VPU passes
+    # are ~10x cheaper — and f32-exact, matching the CPU oracle.
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    x = sum(float(k[i]) * jax.lax.dynamic_slice(xp, (0, i), (h, w))
+            for i in range(ksize))
+    xp = jnp.pad(x, ((pad, pad), (0, 0)), mode="edge")
+    x = sum(float(k[i]) * jax.lax.dynamic_slice(xp, (i, 0), (h, w))
+            for i in range(ksize))
     return x
 
 

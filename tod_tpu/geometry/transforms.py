@@ -125,7 +125,7 @@ def quat_to_mat(q: jax.Array) -> jax.Array:
     ], -2)
 
 
-def horn_rotation(S: jax.Array, n_newton: int = 30) -> Tuple[jax.Array, jax.Array]:
+def horn_rotation(S: jax.Array, n_newton: int = 12) -> Tuple[jax.Array, jax.Array]:
     """Optimal rotation R (with R q ~= t) from the correlation matrix
     S = sum_i w_i q~_i t~_i^T, via Horn's unit-quaternion method — the actual
     closed form the reference cites (sac_model_registration_graph.h:296-303)

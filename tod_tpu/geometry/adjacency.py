@@ -54,21 +54,28 @@ class AdjacencyGraphs(NamedTuple):
 
 
 def prune_low_degree(sample: jax.Array, valid: jax.Array,
-                     min_degree: int = MIN_SAMPLE_SIZE) -> jax.Array:
+                     min_degree: int = MIN_SAMPLE_SIZE,
+                     max_iters: int = 8) -> jax.Array:
     """Fixpoint of "drop vertices with < min_degree sample-neighbors among the
-    still-valid set" (InvalidateIndices, adjacency_ransac.cpp:64-89)."""
+    still-valid set" (InvalidateIndices, adjacency_ransac.cpp:64-89).
+
+    Bounded at ``max_iters`` rounds: cascades deeper than that are rare, and
+    an under-pruned vertex only costs a few wasted hypothesis samples (the
+    reference iterates to the true fixpoint; under vmap a long cascade in ONE
+    object would stall every lane)."""
 
     def cond(state):
-        valid, changed = state
-        return changed
+        _, changed, it = state
+        return changed & (it < max_iters)
 
     def body(state):
-        valid, _ = state
+        valid, _, it = state
         deg = (sample & valid[None, :]).sum(axis=1)
         new_valid = valid & (deg >= min_degree)
-        return new_valid, (new_valid != valid).any()
+        return new_valid, (new_valid != valid).any(), it + 1
 
-    valid, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+    valid, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.asarray(True), jnp.int32(0)))
     return valid
 
 

@@ -57,7 +57,7 @@ class RansacConfig:
     max_instances: int = 5            # bounded multi-instance loop
     clique_minimal_size: int = 7      # min(best_inlier_number_=8, 7)
     n_clique_checked: int = 64        # hypotheses that get the clique pass
-    max_refine_iters: int = 12
+    max_refine_iters: int = 8
     use_residual_test: bool = True
 
 

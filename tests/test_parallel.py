@@ -122,3 +122,19 @@ def test_jit_detect_batch_compiles(devices8, rng):
         det = fn(keys, grays, depths, Ks, db)
         det.accepted.block_until_ready()
     assert det.accepted.shape == (b, 1, 1)
+
+
+def test_ring_matching_exact(devices8, rng):
+    from tod_tpu.parallel import ring_hamming_topk
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    chunk = 128
+    q = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    db = rng.integers(0, 256, (4 * chunk * 2, 32), dtype=np.uint8)
+    n_valid = len(db) - 19
+    d_ring, i_ring = ring_hamming_topk(
+        mesh, jnp.asarray(q), jnp.asarray(db), n_valid, k=5, chunk=chunk)
+    d_ref, i_ref = hamming_topk(jnp.asarray(q), jnp.asarray(db), n_valid,
+                                k=5, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(d_ring), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(i_ring), np.asarray(i_ref))

@@ -1,7 +1,8 @@
 from tod_tpu.parallel.mesh import make_mesh
-from tod_tpu.parallel.matching import sharded_hamming_topk
+from tod_tpu.parallel.matching import (ring_hamming_topk,
+                                       sharded_hamming_topk)
 from tod_tpu.parallel.detect import detect_batch_sharded
 from tod_tpu.parallel.train import train_views_sharded
 
-__all__ = ["make_mesh", "sharded_hamming_topk", "detect_batch_sharded",
-           "train_views_sharded"]
+__all__ = ["make_mesh", "sharded_hamming_topk", "ring_hamming_topk",
+           "detect_batch_sharded", "train_views_sharded"]

@@ -21,7 +21,21 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from tod_tpu.ops.matching import hamming_topk
+from tod_tpu.ops.matching import BIG_DIST, hamming_topk
+
+
+def _merge_topk_by_index(best_d, best_i, new_d, new_i, k):
+    """Merge two top-k lists with (distance, global index) ordering — fold-
+    order independent, so every ring device converges to identical results
+    (the deterministic lowest-index-wins tie-break of the single-device
+    matcher). Requires integer distances <= 511 and indices < 2^22."""
+    d = jnp.concatenate([best_d, new_d], axis=1)
+    i = jnp.concatenate([best_i, new_i], axis=1)
+    d_int = jnp.minimum(d, 511.0).astype(jnp.int32)
+    keys = jnp.where(i >= 0, (d_int << 22) | i, jnp.int32(2**30))
+    _, pos = jax.lax.top_k(-keys, k)
+    return (jnp.take_along_axis(d, pos, axis=1),
+            jnp.take_along_axis(i, pos, axis=1))
 
 
 def sharded_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
@@ -63,6 +77,60 @@ def sharded_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
         # the streaming-top-k scan inits its carry from constants, which fails
         # the varying-across-mesh type check; the code is manually verified
         # (exactness asserted against the single-device matcher in tests)
+        check_vma=False)
+    n_valid_arr = jnp.asarray([n_db_valid], jnp.int32)
+    return fn(query_u8, db_u8, n_valid_arr)
+
+
+def ring_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
+                      n_db_valid, k: int = 5,
+                      chunk: int = 16384) -> Tuple[jax.Array, jax.Array]:
+    """Ring-pass variant of :func:`sharded_hamming_topk` — the ring-attention
+    analog for brute-force matching (SURVEY.md section 5 "long-context").
+
+    Instead of an end-of-pass all_gather of per-shard candidates (O(devices)
+    concatenation at the merge), the DB shards rotate around the 'db' ring
+    via ``ppermute``; each device folds one shard per step into its running
+    top-k, overlapping the next shard's transfer with the current shard's
+    matmul. Exact: after D steps every device has folded every shard.
+    """
+    n_rows = db_u8.shape[0]
+    n_db_shards = mesh.shape["db"]
+    shard_rows = n_rows // n_db_shards
+    if shard_rows * n_db_shards != n_rows or shard_rows % chunk != 0:
+        raise ValueError(
+            f"db rows {n_rows} must divide into {n_db_shards} shards of "
+            f"chunk-multiple size (chunk={chunk})")
+    if n_rows >= (1 << 22):
+        raise ValueError("ring merge packs (dist, idx) into int32: "
+                         f"db rows must be < 2^22, got {n_rows}")
+    perm = [(j, (j - 1) % n_db_shards) for j in range(n_db_shards)]
+
+    def local(q_blk, db_shard, n_valid):
+        my = jax.lax.axis_index("db")
+        qn = q_blk.shape[0]
+        init_best = (jnp.full((qn, k), BIG_DIST), jnp.full((qn, k), -1,
+                                                           jnp.int32))
+
+        def step(i, carry):
+            (best_d, best_i), shard = carry
+            src = (my + i) % n_db_shards        # original owner of `shard`
+            offset = src * shard_rows
+            local_valid = jnp.clip(n_valid[0] - offset, 0, shard_rows)
+            d, idx = hamming_topk(q_blk, shard, local_valid, k=k, chunk=chunk)
+            idx = jnp.where(idx >= 0, idx + offset, -1)
+            merged = _merge_topk_by_index(best_d, best_i, d, idx, k)
+            shard = jax.lax.ppermute(shard, "db", perm)
+            return merged, shard
+
+        (best_d, best_i), _ = jax.lax.fori_loop(
+            0, n_db_shards, step, (init_best, db_shard))
+        return best_d, best_i
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("db", None), P()),
+        out_specs=(P("data", None), P("data", None)),
         check_vma=False)
     n_valid_arr = jnp.asarray([n_db_valid], jnp.int32)
     return fn(query_u8, db_u8, n_valid_arr)

@@ -152,3 +152,41 @@ def test_detection_no_false_positive_on_empty_scene(trained):
     depth = np.full((480, 640), 900, np.uint16)
     results = det.detect(image, depth, DEFAULT_K)
     assert results == []
+
+
+def test_staged_detector_matches_single_program(trained):
+    """The staged 3-program FusedDetector path and the single-program
+    detect_frame must produce identical detections for the same key."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.models.fused import detect_frame, pack_models
+
+    objects, db_store = trained
+    models = load_models_for_objects(db_store, "all")
+    cfg = FusedDetectorConfig(
+        n_features=800, db_chunk=2048,
+        guess=GuessConfig(ransac=RansacConfig(n_hypotheses=256,
+                                              max_instances=2)))
+    det = FusedDetector(models, cfg, seed=3)
+    image, depth, _ = _scene(objects)
+
+    gray, depth_j, K_j = det.prepare_frame(image, depth, DEFAULT_K)
+    key = jax.random.PRNGKey(42)
+
+    # single fused program
+    _, d_one = jax.jit(lambda *a: detect_frame(*a, cfg=cfg))(
+        key, gray, depth_j, K_j, det.db)
+
+    # staged path with the same key
+    det._key = jax.random.PRNGKey(0)
+    from tod_tpu.models.fused import _jitted_stages
+    s1, s2, s3 = _jitted_stages(cfg)
+    kps, desc, qp = s1(gray, depth_j, K_j)
+    dist, rows = s2(desc, det.db)
+    d_staged = s3(key, kps.xy, kps.valid, dist, rows, qp, det.db)
+
+    np.testing.assert_array_equal(np.asarray(d_one.accepted),
+                                  np.asarray(d_staged.accepted))
+    np.testing.assert_allclose(np.asarray(d_one.T),
+                               np.asarray(d_staged.T), atol=1e-5)

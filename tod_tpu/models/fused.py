@@ -97,20 +97,28 @@ def match_against_db(desc: jax.Array, db: ModelDb,
                      cfg: FusedDetectorConfig) -> Tuple[jax.Array, jax.Array]:
     """Top-k matching via the fused Pallas kernel (TPU) or the XLA
     streaming matcher (CPU/tests). Both are exact."""
+    n_rows = db.descriptors.shape[0]
     if cfg.use_pallas():
-        from tod_tpu.ops.pallas.hamming import Q_TILE, hamming_topk_fused
+        from tod_tpu.ops.pallas.hamming import (DB_CHUNK, Q_TILE,
+                                                hamming_topk_fused)
 
-        q = desc.shape[0]
-        pad = (-q) % Q_TILE
-        if pad:
-            desc = jnp.concatenate(
-                [desc, jnp.zeros((pad, 32), jnp.uint8)])
-        dist, rows = hamming_topk_fused(desc, db.bits_t, db.popcounts,
-                                        db.n_valid, k=cfg.k_matches,
-                                        radius=cfg.radius)
-        return dist[:q], rows[:q]
+        # largest kernel chunk that divides the (padded) DB row count; tiny
+        # DBs that fit no chunk fall back to the XLA matcher
+        db_chunk = next((c for c in (DB_CHUNK, 4096, 2048, 1024, 512, 256)
+                         if n_rows % c == 0), None)
+        if db_chunk is not None:
+            q = desc.shape[0]
+            pad = (-q) % Q_TILE
+            if pad:
+                desc = jnp.concatenate(
+                    [desc, jnp.zeros((pad, 32), jnp.uint8)])
+            dist, rows = hamming_topk_fused(desc, db.bits_t, db.popcounts,
+                                            db.n_valid, k=cfg.k_matches,
+                                            radius=cfg.radius,
+                                            db_chunk=db_chunk)
+            return dist[:q], rows[:q]
     return hamming_topk(desc, db.descriptors, db.n_valid,
-                        k=cfg.k_matches, chunk=cfg.db_chunk)
+                        k=cfg.k_matches, chunk=min(cfg.db_chunk, n_rows))
 
 
 def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,

@@ -153,3 +153,21 @@ def test_scheduler_timing_report():
     s.execute(3)
     report = s.timing_report()
     assert "3 iterations" in report and "d" in report
+
+
+def test_threaded_scheduler_levels():
+    from tod_tpu.pipeline.scheduler import ThreadedScheduler
+
+    c1, c2 = Constant("c1", value=2), Constant("c2", value=3)
+    d1, d2 = Doubler("d1"), Doubler("d2")
+    a = Adder("a")
+    p = Plasm()
+    p.connect(c1["out"] >> d1["x"])
+    p.connect(c2["out"] >> d2["x"])
+    p.connect(d1["y"] >> a["a"], d2["y"] >> a["b"])
+    s = ThreadedScheduler(p, max_workers=2)
+    s.execute(2)
+    assert a.outputs["sum"] == 10  # 2*2 + 2*3
+    assert s.n_iterations == 2
+    # level structure: constants | doublers | adder
+    assert [len(lvl) for lvl in s._levels] == [2, 2, 1]

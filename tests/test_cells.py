@@ -62,3 +62,43 @@ def test_matcher_empty_db():
     cell.inputs["descriptors"] = np.zeros((5, 32), np.uint8)
     cell.process()
     assert not cell.outputs["matches"].valid.any()
+
+
+def test_matcher_bare_string_object_id(rng):
+    """Regression: a bare (non-JSON-list) object id string must load that
+    object, not iterate character-by-character into an empty index."""
+    db = InMemoryDb.shared("m3")
+    desc = rng.integers(0, 256, (50, 32), dtype=np.uint8)
+    pts = rng.uniform(-0.1, 0.1, (50, 3)).astype(np.float32)
+    write_model(db, "obj1", desc, pts)
+
+    cell = DescriptorMatcher(
+        "m", search_json_params=json.dumps({"type": "LSH", "radius": 60}),
+        json_db=json.dumps({"type": "mem", "collection": "m3"}),
+        json_object_ids="obj1")
+    cell.ensure_configured()
+    assert cell.index.object_ids == ["obj1"]
+
+
+def test_fused_detector_empty_db():
+    """Regression: FusedDetector with an empty model DB must detect nothing
+    instead of crashing (ZeroDivisionError in match_against_db)."""
+    from tod_tpu.models import FusedDetector, FusedDetectorConfig
+    from tod_tpu.geometry.detection import GuessConfig
+    from tod_tpu.geometry.ransac import RansacConfig
+
+    cfg = FusedDetectorConfig(
+        n_features=128, guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=32),
+            max_matches_per_object=32))
+    det = FusedDetector([], cfg)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (96, 128), np.uint8).astype(np.float32)
+    depth = np.full((96, 128), 0.8, np.float32)
+    K = np.array([[100, 0, 64], [0, 100, 48], [0, 0, 1]], np.float32)
+    assert det.detect(image, depth, K) == []
+    # batched path too
+    g, d, k = det.prepare_frame(image, depth, K)
+    _, out = det.detect_batch_raw(jnp.stack([g, g]), jnp.stack([d, d]),
+                                  jnp.stack([k, k]))
+    assert out.accepted.shape[0] == 2 and not np.asarray(out.accepted).any()

@@ -207,3 +207,19 @@ def test_observation_roundtrip():
     assert [o.frame_number for o in obs] == [0, 1, 2]  # sorted turntable order
     assert obs[0].depth.dtype == np.float32
     assert obs[0].T.shape == (3,)
+
+
+def test_filesystem_update_in_place_drops_stale_attachments(tmp_path):
+    """Regression: re-inserting a document without an attachment must remove
+    the stale .npy file, or load() resurrects it (checkpoint corruption)."""
+    db = FilesystemDb(str(tmp_path), "test")
+    doc = Document(fields={"kind": "m"},
+                   attachments={"a": np.arange(3), "b": np.arange(4)})
+    doc_id = db.insert(doc)
+    doc2 = db.load(doc_id)
+    del doc2.attachments["b"]
+    doc2.attachments["a"] = np.arange(5)
+    db.insert(doc2)
+    loaded = db.load(doc_id)
+    assert set(loaded.attachments) == {"a"}
+    assert len(loaded.attachments["a"]) == 5

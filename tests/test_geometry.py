@@ -360,3 +360,28 @@ def test_active_object_selection(rng):
     assert acc.shape == (n_obj, 2)
     assert acc[true_obj].any()
     np.testing.assert_allclose(np.asarray(det.T)[true_obj, 0], T, atol=5e-3)
+
+
+def test_cluster_matches_rank_major_for_l2_distances():
+    """Regression: the eviction priority must stay rank-major even when
+    distances exceed 300 (routine for the L2/SIFT path): with capacity for
+    only the best matches, every keypoint's rank-0 match survives before any
+    keypoint's rank-1 match."""
+    from tod_tpu.geometry.detection import cluster_matches
+
+    q, k, cap = 6, 2, 6
+    obj_idx = np.zeros((q, k), np.int32)
+    # rank-0 distances are big (L2-style); rank-1 distances tiny
+    dist = np.stack([np.full(q, 5000.0), np.full(q, 1.0)], axis=1)
+    dist = dist.astype(np.float32)
+    valid = np.ones((q, k), bool)
+    train = np.zeros((q, k, 3), np.float32)
+    qpts = np.zeros((q, 3), np.float32)
+    qxy = np.zeros((q, 2), np.float32)
+    out = cluster_matches(jnp.asarray(obj_idx), jnp.asarray(dist),
+                          jnp.asarray(valid), jnp.asarray(train),
+                          jnp.asarray(qpts), jnp.asarray(qxy),
+                          jnp.asarray([0], jnp.int32), cap)
+    # capacity 6 = exactly the 6 rank-0 matches; all 6 keypoints must appear
+    kept = np.asarray(out.query_idx[0])[np.asarray(out.valid[0])]
+    assert sorted(kept.tolist()) == list(range(q))

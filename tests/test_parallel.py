@@ -138,3 +138,23 @@ def test_ring_matching_exact(devices8, rng):
                                 k=5, chunk=chunk)
     np.testing.assert_array_equal(np.asarray(d_ring), np.asarray(d_ref))
     np.testing.assert_array_equal(np.asarray(i_ring), np.asarray(i_ref))
+
+
+def test_ring_matching_exact_at_max_distance(devices8):
+    """Regression: a valid match at the maximum Hamming distance (256 — the
+    query's exact complement) must beat empty slots in the ring merge (the
+    old sort key collided with the invalid sentinel above distance 255)."""
+    from tod_tpu.parallel import ring_hamming_topk
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    chunk = 128
+    q = np.zeros((8, 32), np.uint8)
+    db = np.full((4 * chunk, 32), 255, np.uint8)  # every row is dist 256
+    n_valid = 3  # only 3 real rows -> k=5 has 2 empty slots
+    d_ring, i_ring = ring_hamming_topk(
+        mesh, jnp.asarray(q), jnp.asarray(db), n_valid, k=5, chunk=chunk)
+    d_ref, i_ref = hamming_topk(jnp.asarray(q), jnp.asarray(db), n_valid,
+                                k=5, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(d_ring), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(i_ring), np.asarray(i_ref))
+    assert (np.asarray(i_ring)[:, :3] >= 0).all()

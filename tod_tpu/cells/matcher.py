@@ -127,8 +127,9 @@ class DescriptorMatcher(Cell):
         db = ObjectDbParameters(self.params["json_db"]).generate_db()
         object_ids = self.params["json_object_ids"]
         if isinstance(object_ids, str) and object_ids not in ("all", ""):
+            # a bare id string would otherwise iterate character-by-character
             object_ids = parse_json_params(object_ids) \
-                if object_ids.startswith("[") else object_ids
+                if object_ids.startswith("[") else [object_ids]
         models = load_models_for_objects(db, object_ids or "all")
         self.index = MatcherIndex(models)
 

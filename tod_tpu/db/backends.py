@@ -160,6 +160,13 @@ class FilesystemDb(ObjectDb):
         for name, arr in doc.attachments.items():
             np.save(os.path.join(doc_dir, f"{name}.npy"), np.asarray(arr),
                     allow_pickle=False)
+        # drop stale attachment files from a previous revision: load() picks
+        # up every *.npy in the directory, so leftovers would resurrect
+        # attachments deleted from the document (checkpoint corruption)
+        keep = {f"{name}.npy" for name in doc.attachments}
+        for fname in os.listdir(doc_dir):
+            if fname.endswith(".npy") and fname not in keep:
+                os.remove(os.path.join(doc_dir, fname))
         return doc.id
 
     def load(self, doc_id: str) -> Document:

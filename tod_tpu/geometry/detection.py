@@ -73,7 +73,11 @@ def cluster_matches(obj_idx: jax.Array, dist: jax.Array, valid: jax.Array,
     valid_flat = valid.reshape(qk) & jnp.repeat(q_finite, k)
     t_flat = train_pts.reshape(qk, 3)
     kp_of_flat = jnp.repeat(jnp.arange(q, dtype=jnp.int32), k)
-    priority = rank_flat * 300.0 + dist_flat  # rank-major, distance-minor
+    # rank-major, distance-minor: the stride must exceed every valid distance
+    # (Hamming tops out at 256 but the L2/SIFT path does not), so compute it
+    # in-graph from the masked distances.
+    stride = jnp.where(valid_flat, dist_flat, 0.0).max() + 1.0
+    priority = rank_flat * stride + dist_flat
 
     def one_object(o):
         mask = valid_flat & (obj_flat == o) & (o >= 0)

@@ -79,7 +79,11 @@ def pack_models(models: Sequence[TodModel], chunk: int) -> Tuple[ModelDb, List[s
         spans = np.zeros(0, np.float32)
     padded, n = pad_db(desc, chunk)
     n_pad = len(padded) - n
-    bits_t, pop = pack_db_bits(jnp.asarray(padded), jnp.int8)
+    if len(padded):
+        bits_t, pop = pack_db_bits(jnp.asarray(padded), jnp.int8)
+    else:
+        bits_t = jnp.zeros((256, 0), jnp.int8)
+        pop = jnp.zeros((1, 0), jnp.int32)
     db = ModelDb(
         descriptors=jnp.asarray(padded),
         bits_t=bits_t,
@@ -98,6 +102,11 @@ def match_against_db(desc: jax.Array, db: ModelDb,
     """Top-k matching via the fused Pallas kernel (TPU) or the XLA
     streaming matcher (CPU/tests). Both are exact."""
     n_rows = db.descriptors.shape[0]
+    if n_rows == 0:
+        # empty DB: all-invalid matches (mirrors DescriptorMatcher.process)
+        q = desc.shape[0]
+        return (jnp.full((q, cfg.k_matches), 1e9, jnp.float32),
+                jnp.full((q, cfg.k_matches), -1, jnp.int32))
     if cfg.use_pallas():
         from tod_tpu.ops.pallas.hamming import (DB_CHUNK, Q_TILE,
                                                 hamming_topk_fused)
@@ -143,6 +152,16 @@ def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,
         key, obj_idx, dist, m_valid, train_pts, query_pts, kps.xy,
         db.spans, cfg.guess)
     return kps, detections
+
+
+def _empty_detections(n_objects: int, cfg: FusedDetectorConfig) -> ObjectDetections:
+    """All-empty detections for degenerate inputs (e.g. an empty model DB)."""
+    n_inst = cfg.guess.ransac.max_instances
+    return ObjectDetections(
+        R=jnp.zeros((n_objects, n_inst, 3, 3)),
+        T=jnp.zeros((n_objects, n_inst, 3)),
+        n_inliers=jnp.zeros((n_objects, n_inst), jnp.int32),
+        accepted=jnp.zeros((n_objects, n_inst), bool))
 
 
 @functools.lru_cache(maxsize=4)
@@ -220,6 +239,8 @@ class FusedDetector:
         self._key, sub = jax.random.split(self._key)
         s1, s2, s3 = self._stages
         kps, desc, query_pts = s1(gray, depth_j, K_j)
+        if not self.object_ids:  # empty DB: nothing to match against
+            return kps, _empty_detections(0, self.config)
         dist, rows = s2(desc, self.db)
         det = s3(sub, kps.xy, kps.valid, dist, rows, query_pts, self.db)
         return kps, det
@@ -242,6 +263,10 @@ class FusedDetector:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, b)
         kps, desc, query_pts = s1(grays, depths, Ks)
+        if not self.object_ids:  # empty DB: nothing to match against
+            return kps, jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (b,) + x.shape),
+                _empty_detections(0, self.config))
         dist, rows = s2(desc, self.db)
         det = s3(keys, kps.xy, kps.valid, dist, rows, query_pts, self.db)
         return kps, det

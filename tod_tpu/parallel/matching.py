@@ -28,11 +28,15 @@ def _merge_topk_by_index(best_d, best_i, new_d, new_i, k):
     """Merge two top-k lists with (distance, global index) ordering — fold-
     order independent, so every ring device converges to identical results
     (the deterministic lowest-index-wins tie-break of the single-device
-    matcher). Requires integer distances <= 511 and indices < 2^22."""
+    matcher). Indices must be < 2^22; integer distances above 510 (possible
+    only for descriptors wider than 63 bytes) collapse into one "far" bucket
+    but still rank behind every nearer match and ahead of empty slots — the
+    invalid sentinel 0x7FFFFFFF sits strictly above the largest packable key
+    (510 << 22 | (2^22-1))."""
     d = jnp.concatenate([best_d, new_d], axis=1)
     i = jnp.concatenate([best_i, new_i], axis=1)
-    d_int = jnp.minimum(d, 511.0).astype(jnp.int32)
-    keys = jnp.where(i >= 0, (d_int << 22) | i, jnp.int32(2**30))
+    d_int = jnp.minimum(d, 510.0).astype(jnp.int32)
+    keys = jnp.where(i >= 0, (d_int << 22) | i, jnp.int32(0x7FFFFFFF))
     _, pos = jax.lax.top_k(-keys, k)
     return (jnp.take_along_axis(d, pos, axis=1),
             jnp.take_along_axis(i, pos, axis=1))

@@ -2,14 +2,16 @@
 """Headline benchmark: 640x480 RGB-D detection FPS against a 100-object DB.
 
 Mirrors the BASELINE.md north star: >= 30 FPS 640x480 RGB-D detection against
-a 100-object database on one TPU chip. The DB is built from real trained
-synthetic-turntable models (4 distinct textured objects through the actual
-training pipeline) plus bit-perturbed decoy models to reach the 100-object /
-~1M-descriptor scale, so matching AND geometry see realistic load.
+a 100-object database on one TPU chip. The DB is built honestly: 100 DISTINCT
+synthetic textured objects, each trained through the actual training pipeline
+(12-view x 2-elevation turntable captures), ~1M descriptors total — so both
+the matcher and the geometry stage see realistic descriptor statistics.
+Detection quality is measured as recall@2cm over scenes that cycle through
+the whole object set (BASELINE.md tracked metric).
 
 Prints ONE JSON line:
   {"metric": "detection_fps_640x480_100obj", "value": ..., "unit": "fps",
-   "vs_baseline": value / 30.0}
+   "vs_baseline": value / 30.0, "recall_at_2cm": ...}
 plus secondary metrics (matcher throughput vs the multithreaded CPU
 brute-force baseline) on stderr.
 """
@@ -47,50 +49,78 @@ def wait_for_devices(retries: int = 12, delay: float = 15.0):
 
 
 def build_db(n_objects: int, seed: int = 0):
-    """4 real trained models + perturbed decoys up to n_objects."""
-    import jax
+    """Train ``n_objects`` DISTINCT textured objects through the real
+    training pipeline (honest DB: real descriptor statistics in both the
+    matcher and the geometry stage — no perturbed-copy decoys).
+
+    Set BENCH_DB_CACHE=<dir> to reuse trained models across runs (dev
+    iteration only; the default trains live)."""
     from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
-    from tod_tpu.db.models import TodModel
     from tod_tpu.models import TodTrainer
     from tod_tpu.utils.synthetic import SyntheticObject, turntable_observations
 
+    cache_dir = os.environ.get("BENCH_DB_CACHE")
+    dedup = int(os.environ.get("BENCH_DEDUP", "8"))
+    cache = None
+    if cache_dir:
+        cache = os.path.join(cache_dir,
+                             f"db_n{n_objects}_s{seed}_d{dedup}.npz")
+        if os.path.exists(cache):
+            from tod_tpu.db.models import TodModel
+
+            data = np.load(cache)
+            objects = [SyntheticObject.make(f"obj{i:03d}", seed=100 + i)
+                       for i in range(n_objects)]
+            models = [TodModel(f"obj{i:03d}", data[f"d{i}"], data[f"p{i}"])
+                      for i in range(n_objects)]
+            log(f"loaded {n_objects} cached models from {cache}")
+            return objects, models
+
     InMemoryDb.reset_shared()
     db = InMemoryDb.shared("bench")
-    rng = np.random.default_rng(seed)
-    n_real = min(4, n_objects)
     objects = []
     t0 = time.time()
-    for i in range(n_real):
-        obj = SyntheticObject.make(f"real{i}", seed=100 + i)
+    trainer = None
+    for i in range(n_objects):
+        obj = SyntheticObject.make(f"obj{i:03d}", seed=100 + i)
         objects.append(obj)
-        for obs in turntable_observations(obj, n_views=12):
+        # 12 views x 3 elevation rings = 36 views, the reference's turntable
+        # capture scale (SURVEY.md section 3.1 "~36 views"); the near-frontal
+        # ring matters — detection-time poses are mostly frontal
+        obs_ids = [
             insert_observation(db, obj.object_id, obs["frame_number"],
                                obs["image"], obs["depth"], obs["mask"],
                                obs["K"], obs["R"], obs["T"])
-        TodTrainer(
+            for obs in turntable_observations(
+                obj, n_views=12, elevations_deg=(85.0, 60.0, 35.0))]
+        trainer = TodTrainer(
             "trainer", object_id=obj.object_id,
             json_db=json.dumps({"type": "mem", "collection": "bench"}),
             json_feature_params=json.dumps(
                 {"type": "ORB", "n_features": 600}),
-            dedup_hamming=int(os.environ.get("BENCH_DEDUP", "8"))).process()
+            dedup_hamming=int(os.environ.get("BENCH_DEDUP", "8")))
+        trainer.process()
+        # observations are only needed during this object's training;
+        # dropping them keeps the 100-object DB build within host memory
+        for doc_id in obs_ids:
+            db.delete(doc_id)
+        if i in (0, n_objects - 1) or (i + 1) % 20 == 0:
+            log(f"  trained {i + 1}/{n_objects} objects "
+                f"({time.time()-t0:.1f}s)")
     models = load_models_for_objects(db, "all")
-    log(f"trained {len(models)} real models in {time.time()-t0:.1f}s, "
-        f"{[m.n_points for m in models]} points")
-
-    # decoys: perturbed copies (realistic near-match noise at DB scale)
-    all_models = list(models)
-    i = 0
-    while len(all_models) < n_objects:
-        base = models[i % len(models)]
-        flips = rng.integers(0, 256, base.descriptors.shape, dtype=np.uint8)
-        flips &= rng.integers(0, 256, base.descriptors.shape, dtype=np.uint8)
-        flips &= rng.integers(0, 256, base.descriptors.shape, dtype=np.uint8)
-        desc = base.descriptors ^ flips  # ~32 bits flipped per descriptor
-        pts = base.points + rng.normal(0, 0.01, base.points.shape
-                                       ).astype(np.float32)
-        all_models.append(TodModel(f"decoy{i}", desc, pts))
-        i += 1
-    return objects, all_models
+    models = {m.object_id: m for m in models}
+    models = [models[o.object_id] for o in objects]  # stable object order
+    pts = [m.n_points for m in models]
+    log(f"trained {len(models)} distinct models in {time.time()-t0:.1f}s, "
+        f"points/model min={min(pts)} median={sorted(pts)[len(pts)//2]} "
+        f"max={max(pts)}")
+    if cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache, **{f"d{i}": m.descriptors for i, m in
+                           enumerate(models)},
+                 **{f"p{i}": m.points for i, m in enumerate(models)})
+        log(f"cached models to {cache}")
+    return objects, models
 
 
 def main():
@@ -119,27 +149,59 @@ def main():
             max_active_objects=16))
     det = FusedDetector(all_models, cfg)
 
-    # pre-render a few scenes with 3 real objects
+    # pre-render scenes of 3 objects each, cycling through the whole DB so
+    # recall samples many distinct objects (not a favorable fixed trio)
+    n_scenes = int(os.environ.get("BENCH_SCENES", "8"))
     rng = np.random.default_rng(7)
     scenes = []
-    for s in range(4):
+    for s in range(n_scenes):
+        trio = [objects[(3 * s + j) % len(objects)] for j in range(3)]
         poses = [facing_pose(rng, z=0.75), facing_pose(rng, z=0.9),
                  facing_pose(rng, z=1.05)]
         poses[0][1][0] = -0.22
         poses[1][1][0] = 0.02
         poses[2][1][0] = 0.24
-        image, depth = compose_scene(objects[:3], poses)
-        scenes.append((image, depth))
-    log("scenes rendered")
+        image, depth = compose_scene(trio, poses)
+        gt = [(o.object_id, R, T) for o, (R, T) in zip(trio, poses)]
+        scenes.append((image, depth, gt))
+    log(f"{n_scenes} scenes rendered")
 
     # pre-upload frames to the device (serving keeps frames device-resident;
     # the measured quantity is the on-chip pipeline, not PCIe/tunnel uploads)
     device_scenes = [det.prepare_frame(img, dep, DEFAULT_K)
-                     for img, dep in scenes]
+                     for img, dep, _ in scenes]
 
-    found = det.detect(*scenes[0], DEFAULT_K)
-    log(f"warmup frame found {len(found)} poses: "
-        f"{[(r.object_id, round(r.confidence)) for r in found[:6]]}")
+    # detection quality: recall@2cm over every ground-truth placement
+    # (BASELINE.md tracked metric "pose recall@2cm")
+    t0 = time.time()
+    hits, misses, rot_errs = 0, [], []
+    for image, depth, gt in scenes:
+        found = det.detect(image, depth, DEFAULT_K)
+        by_id = {}
+        for r in found:
+            by_id.setdefault(r.object_id, []).append(r)
+        for oid, gt_R, gt_T in gt:
+            best, best_dt = None, 1e9
+            for r in by_id.get(oid, []):
+                dt = float(np.linalg.norm(r.T - gt_T))
+                if dt < best_dt:
+                    best, best_dt = r, dt
+            if best is not None and best_dt <= 0.02:
+                hits += 1
+                tr = (np.trace(best.R @ gt_R.T) - 1.0) / 2.0
+                rot_errs.append(float(np.degrees(
+                    np.arccos(min(1.0, max(-1.0, tr))))))
+            else:
+                misses.append((oid, round(best_dt, 4)
+                               if best is not None else None))
+    n_placed = 3 * n_scenes
+    recall = hits / n_placed
+    log(f"recall@2cm: {hits}/{n_placed} = {recall:.3f} "
+        f"(median rot err {np.median(rot_errs):.2f} deg)"
+        if rot_errs else f"recall@2cm: {hits}/{n_placed}")
+    if misses:
+        log(f"missed placements: {misses}")
+    log(f"(recall pass incl. compile: {time.time()-t0:.1f}s)")
 
     # batched throughput (production serving shape: staged vmapped programs;
     # amortizes dispatch and keeps every stage at its standalone speed)
@@ -217,6 +279,7 @@ def main():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+        "recall_at_2cm": round(recall, 4),
     }), flush=True)
 
 

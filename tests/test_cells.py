@@ -102,3 +102,89 @@ def test_fused_detector_empty_db():
     _, out = det.detect_batch_raw(jnp.stack([g, g]), jnp.stack([d, d]),
                                   jnp.stack([k, k]))
     assert out.accepted.shape[0] == 2 and not np.asarray(out.accepted).any()
+
+
+def test_trainer_batched_matches_per_view():
+    """The batched Trainer (one jitted call per object) must produce exactly
+    the per-view streaming results, stacked in view order."""
+    import jax
+    from tod_tpu.cells.trainer import _jitted_train_views
+    from tod_tpu.db import InMemoryDb, insert_observation
+    from tod_tpu.cells import Trainer
+    from tod_tpu.utils.synthetic import SyntheticObject, turntable_observations
+
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("tb")
+    obj = SyntheticObject.make("tb_obj", seed=5)
+    views = list(turntable_observations(obj, n_views=3,
+                                        elevations_deg=(60.0,)))
+    for obs in views:
+        insert_observation(db, "tb_obj", obs["frame_number"], obs["image"],
+                           obs["depth"], obs["mask"], obs["K"], obs["R"],
+                           obs["T"])
+    cell = Trainer("t", json_feature_params=json.dumps(
+        {"type": "ORB", "n_features": 200}))
+    cell.inputs["json_db"] = json.dumps({"type": "mem", "collection": "tb"})
+    cell.inputs["object_id"] = "tb_obj"
+    cell.ensure_configured()
+    cell.process()
+    got_desc = cell.outputs["descriptors"]
+    got_pts = cell.outputs["points"].reshape(-1, 3)
+
+    # per-view reference: the same jitted program with V=1 view at a time
+    img_hw = views[0]["image"].shape[:2]
+    run = _jitted_train_views(200, 3, 1.2, 20.0, img_hw,
+                              views[0]["image"].ndim == 3)
+    ref_desc, ref_pts = [], []
+    for obs in views:
+        d, w, v = run(*[jnp.asarray(np.asarray(x)[None]) for x in
+                        (obs["image"], obs["mask"], obs["depth"],
+                         obs["K"], obs["R"], obs["T"])])
+        v = np.asarray(v)[0]
+        ref_desc.append(np.asarray(d)[0][v])
+        ref_pts.append(np.asarray(w)[0][v])
+    np.testing.assert_array_equal(got_desc, np.concatenate(ref_desc))
+    np.testing.assert_allclose(got_pts, np.concatenate(ref_pts), atol=1e-5)
+
+
+def test_guess_generator_active_object_cap_exposed():
+    """max_active_objects/object_batch are real cell params (forwarded by
+    TodDetector), and truncation that drops matched objects warns."""
+    import warnings
+    from tod_tpu.cells.guess import GuessGenerator
+    from tod_tpu.models import TodDetector
+
+    det = TodDetector("d", max_active_objects=2, object_batch=1,
+                      search=json.dumps({"type": "LSH", "radius": 35}),
+                      json_db=json.dumps({"type": "mem", "collection": "x"}))
+    det.ensure_configured()
+    g = det.guess_generator
+    g.ensure_configured()
+    assert g._cfg.max_active_objects == 2
+    assert g._cfg.object_batch == 1
+
+    # 3 objects all matched but cap = 2 -> warn
+    cell = GuessGenerator("g", max_active_objects=2, min_inliers=100,
+                          n_ransac_iterations=128)
+    cell.ensure_configured()
+    q = 12
+    rng = np.random.default_rng(1)
+    cell.inputs["keypoints"] = type("KP", (), {
+        "xy": rng.uniform(0, 60, (q, 2)).astype(np.float32),
+        "valid": np.ones(q, bool)})()
+    from tod_tpu.cells.types import MatchSet
+    obj_idx = np.tile(np.array([0, 1, 2], np.int32), (q, 1))
+    cell.inputs["matches"] = MatchSet(
+        dist=np.ones((q, 3), np.float32),
+        train_idx=np.zeros((q, 3), np.int32),
+        obj_idx=obj_idx, local_idx=np.zeros((q, 3), np.int32),
+        valid=np.ones((q, 3), bool))
+    cell.inputs["matches_3d"] = rng.uniform(-0.1, 0.1, (q, 3, 3)).astype(
+        np.float32)
+    cell.inputs["points3d"] = np.full((64, 64, 3), 0.5, np.float32)
+    cell.inputs["object_ids"] = ["a", "b", "c"]
+    cell.inputs["spans"] = {"a": 0.3, "b": 0.3, "c": 0.3}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cell.process()
+    assert any("max_active_objects" in str(x.message) for x in w)

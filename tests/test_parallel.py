@@ -158,3 +158,86 @@ def test_ring_matching_exact_at_max_distance(devices8):
     np.testing.assert_array_equal(np.asarray(d_ring), np.asarray(d_ref))
     np.testing.assert_array_equal(np.asarray(i_ring), np.asarray(i_ref))
     assert (np.asarray(i_ring)[:, :3] >= 0).all()
+
+
+@pytest.mark.slow
+def test_sharded_detection_pose_parity(devices8):
+    """E2E multi-chip parity: train real models, then the SAME frames +
+    PRNG keys through (a) the single-device fused path and (b) the
+    ('data','db')-sharded batch path must produce the same accepted poses."""
+    from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
+    from tod_tpu.models import TodTrainer
+    from tod_tpu.models.fused import detect_frame
+    from tod_tpu.ops.image import rgb_to_gray
+    from tod_tpu.utils.synthetic import (DEFAULT_K, SyntheticObject,
+                                         compose_scene, facing_pose,
+                                         turntable_observations)
+    import json as _json
+
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("par_e2e")
+    objects = []
+    hw = (240, 320)
+    K = DEFAULT_K.copy()
+    K[:2] //= 2  # half-res camera for speed
+    for i in range(2):
+        obj = SyntheticObject.make(f"pobj{i}", seed=200 + i)
+        objects.append(obj)
+        for obs in turntable_observations(obj, n_views=6,
+                                          elevations_deg=(60.0,), hw=hw, K=K):
+            insert_observation(db, obj.object_id, obs["frame_number"],
+                               obs["image"], obs["depth"], obs["mask"],
+                               obs["K"], obs["R"], obs["T"])
+        TodTrainer("t", object_id=obj.object_id,
+                   json_db=_json.dumps({"type": "mem",
+                                        "collection": "par_e2e"}),
+                   json_feature_params=_json.dumps(
+                       {"type": "ORB", "n_features": 300})).process()
+    models = load_models_for_objects(db, "all")
+
+    from tod_tpu.models.fused import FusedDetectorConfig, pack_models
+    from tod_tpu.geometry.detection import GuessConfig
+    from tod_tpu.geometry.ransac import RansacConfig
+
+    cfg = FusedDetectorConfig(
+        n_features=600, db_chunk=512,
+        guess=GuessConfig(ransac=RansacConfig(n_hypotheses=256,
+                                              min_inliers=8),
+                          max_matches_per_object=256))
+    mdb, _ = pack_models(models, 4 * 512)  # rows divide (n_db=4) x chunk=512
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for b in range(2):
+        image, depth = compose_scene(
+            objects, [facing_pose(rng, z=0.7, max_tilt=0.3, xy_extent=0.1),
+                      facing_pose(rng, z=0.9, max_tilt=0.3, xy_extent=0.1)],
+            hw=hw, K=K)
+        gray = np.asarray(rgb_to_gray(jnp.asarray(image, jnp.float32)))
+        frames.append((gray, depth))
+    grays = jnp.stack([jnp.asarray(f[0]) for f in frames])
+    depths = jnp.stack([jnp.asarray(f[1]) for f in frames])
+    Ks = jnp.stack([jnp.asarray(K, jnp.float32)] * 2)
+    keys = jax.random.split(jax.random.PRNGKey(42), 2)
+
+    # single-device reference
+    ref = [detect_frame(keys[b], grays[b], depths[b], Ks[b], mdb, cfg)[1]
+           for b in range(2)]
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    with mesh:
+        fn = jit_detect_batch(mesh, cfg)
+        det = fn(keys, grays, depths, Ks, mdb)
+        acc_s = np.asarray(det.accepted)
+
+    for b in range(2):
+        acc_r = np.asarray(ref[b].accepted)
+        assert acc_r.any(), "reference found no poses (bad test setup)"
+        np.testing.assert_array_equal(acc_s[b], acc_r)
+        sel = acc_r
+        np.testing.assert_allclose(np.asarray(det.T[b])[sel],
+                                   np.asarray(ref[b].T)[sel], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(det.R[b])[sel],
+                                   np.asarray(ref[b].R)[sel], atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(det.n_inliers[b])[sel],
+                                      np.asarray(ref[b].n_inliers)[sel])

@@ -45,6 +45,15 @@ class GuessGenerator(Cell):
                   "Static cap on instances found per object", default=5)
         p.declare("max_matches_per_object",
                   "Static per-object match capacity", default=1024)
+        p.declare("max_active_objects",
+                  "Pose search runs only on the top-N objects by "
+                  "within-radius match count (bounds geometry cost as the "
+                  "DB grows; the reference iterates every matched object, "
+                  "GuessGenerator.cpp:170). A warning is logged when this "
+                  "cap drops matched objects.", default=16)
+        p.declare("object_batch",
+                  "Objects vmapped per pose-search step (memory/throughput "
+                  "trade-off; does not change results).", default=8)
         p.declare("seed", "PRNG seed for hypothesis sampling", default=0)
 
     @staticmethod
@@ -72,7 +81,9 @@ class GuessGenerator(Cell):
                 min_inliers=int(self.params["min_inliers"]),
                 sensor_error=float(self.params["sensor_error"]),
                 max_instances=int(self.params["max_instances"])),
-            max_matches_per_object=int(self.params["max_matches_per_object"]))
+            max_matches_per_object=int(self.params["max_matches_per_object"]),
+            max_active_objects=int(self.params["max_active_objects"]),
+            object_batch=int(self.params["object_batch"]))
         self._key = jax.random.PRNGKey(int(self.params["seed"]))
 
     def process(self) -> None:
@@ -103,6 +114,17 @@ class GuessGenerator(Cell):
         query_pts[~kp_valid] = np.nan
 
         spans = np.asarray([spans_map[o] for o in object_ids], np.float32)
+
+        n_matched = len(np.unique(
+            matches.obj_idx[matches.valid & (matches.obj_idx >= 0)]))
+        if n_matched > self._cfg.max_active_objects:
+            import warnings
+
+            warnings.warn(
+                f"{n_matched} objects have matches but max_active_objects="
+                f"{self._cfg.max_active_objects}: pose search drops the "
+                f"{n_matched - self._cfg.max_active_objects} least-matched "
+                "objects (raise the max_active_objects param to search all)")
 
         self._key, sub = jax.random.split(self._key)
         _, det = _jitted_detect(self._cfg)(

@@ -32,20 +32,29 @@ from tod_tpu.utils.config import parse_json_params
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_train_view(n_features: int, n_levels: int, scale_factor: float,
-                       fast_threshold: float):
-    """(gray, mask, depth_m, K, R, T) -> (descriptors, world points, valid)."""
+def _jitted_train_views(n_features: int, n_levels: int, scale_factor: float,
+                        fast_threshold: float, img_hw: Tuple[int, int],
+                        rgb: bool):
+    """One jitted program for a whole view batch:
+    (images, masks, depths, Ks, Rs, Ts) stacked over the view axis ->
+    (descriptors (V,K,32), world points (V,K,3), valid (V,K)).
+
+    The reference streams views one at a time through cv::ORB
+    (Trainer.cpp:134-181); batching the view axis is the TPU-native form —
+    one dispatch + one host transfer per object instead of per view
+    (the sharded multi-chip variant is parallel.train.train_views_sharded).
+    """
+    from tod_tpu.parallel.train import train_views_step
 
     @jax.jit
-    def run(gray, mask, depth_m, K, R, T):
-        kps, desc = orb_detect_and_compute(
-            gray, n_features=n_features, n_levels=n_levels,
-            scale_factor=scale_factor, fast_threshold=fast_threshold,
-            mask=mask)
-        val = validate_keypoints(kps.xy, kps.valid, mask, depth_m)
-        cam_pts = depth_to_3d_sparse(depth_m, K, val.xy.astype(jnp.float32))
-        world = camera_to_world(R, T, cam_pts)
-        return desc, world, val.valid
+    def run(images, masks, depths, Ks, Rs, Ts):
+        grays = jax.vmap(rgb_to_gray)(images.astype(jnp.float32)) if rgb \
+            else images.astype(jnp.float32)
+        depths_m = jax.vmap(lambda d: rescale_depth(d, img_hw))(depths)
+        return train_views_step(
+            grays, masks, depths_m, Ks, Rs, Ts, n_features=n_features,
+            n_levels=n_levels, scale_factor=scale_factor,
+            fast_threshold=fast_threshold)
 
     return run
 
@@ -95,25 +104,36 @@ class Trainer(Cell):
         db = ObjectDbParameters(self.inputs["json_db"]).generate_db()
         observations = observations_for_object(db, self.inputs["object_id"])
 
-        run = _jitted_train_view(self._n_features, self._n_levels,
-                                 self._scale, self._fast_threshold)
-        desc_all: List[np.ndarray] = []
-        pts_all: List[np.ndarray] = []
+        # group views by shape so each group is ONE batched jitted dispatch
+        # (turntable captures share one camera, so normally one group)
+        groups: dict = {}
         for obs in observations:
             image = np.asarray(obs.image)
-            gray = jnp.asarray(image, jnp.float32)
-            if image.ndim == 3:
-                gray = rgb_to_gray(gray)
-            depth_m = rescale_depth(jnp.asarray(obs.depth), image.shape[:2])
-            desc, world, valid = run(
-                gray, jnp.asarray(np.asarray(obs.mask)), depth_m,
-                jnp.asarray(np.asarray(obs.K, np.float32)),
-                jnp.asarray(np.asarray(obs.R, np.float32)),
-                jnp.asarray(np.asarray(obs.T, np.float32)))
-            valid = np.asarray(jax.device_get(valid))
-            if valid.any():
-                desc_all.append(np.asarray(jax.device_get(desc))[valid])
-                pts_all.append(np.asarray(jax.device_get(world))[valid])
+            key = (image.shape, np.asarray(obs.depth).shape)
+            groups.setdefault(key, []).append(obs)
+
+        desc_all: List[np.ndarray] = []
+        pts_all: List[np.ndarray] = []
+        for (img_shape, _), group in groups.items():
+            run = _jitted_train_views(
+                self._n_features, self._n_levels, self._scale,
+                self._fast_threshold, img_shape[:2], len(img_shape) == 3)
+            images = np.stack([np.asarray(o.image) for o in group])
+            masks = np.stack([np.asarray(o.mask) for o in group])
+            depths = np.stack([np.asarray(o.depth) for o in group])
+            Ks = np.stack([np.asarray(o.K, np.float32) for o in group])
+            Rs = np.stack([np.asarray(o.R, np.float32) for o in group])
+            Ts = np.stack([np.asarray(o.T, np.float32) for o in group])
+            desc, world, valid = run(jnp.asarray(images), jnp.asarray(masks),
+                                     jnp.asarray(depths), jnp.asarray(Ks),
+                                     jnp.asarray(Rs), jnp.asarray(Ts))
+            valid = np.asarray(jax.device_get(valid))       # (V, K)
+            desc = np.asarray(jax.device_get(desc))         # (V, K, 32)
+            world = np.asarray(jax.device_get(world))       # (V, K, 3)
+            flat = valid.reshape(-1)
+            if flat.any():
+                desc_all.append(desc.reshape(-1, desc.shape[-1])[flat])
+                pts_all.append(world.reshape(-1, 3)[flat])
 
         # mergePoints (training.cpp:147-173)
         if desc_all:

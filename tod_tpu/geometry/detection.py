@@ -79,18 +79,35 @@ def cluster_matches(obj_idx: jax.Array, dist: jax.Array, valid: jax.Array,
     stride = jnp.where(valid_flat, dist_flat, 0.0).max() + 1.0
     priority = rank_flat * stride + dist_flat
 
+    # a tiny frame can have fewer flat matches than the per-object capacity;
+    # select what exists and pad the store up to the static capacity
+    cap = min(max_matches, qk)
+    pad = max_matches - cap
+
     def one_object(o):
         mask = valid_flat & (obj_flat == o) & (o >= 0)
         score = jnp.where(mask, -priority, -jnp.inf)
-        top, sel = jax.lax.top_k(score, max_matches)
+        top, sel = jax.lax.top_k(score, cap)
         ok = jnp.isfinite(top)
         kp = kp_of_flat[sel]
-        return ObjectMatches(
+        out = ObjectMatches(
             query_pts=jnp.where(ok[:, None], query_pts[kp], 0.0),
             train_pts=jnp.where(ok[:, None], t_flat[sel], 0.0),
             query_idx=jnp.where(ok, kp, -1),
             query_xy=jnp.where(ok[:, None], query_xy[kp], 0.0),
             valid=ok)
+        if pad:
+            out = ObjectMatches(
+                query_pts=jnp.concatenate(
+                    [out.query_pts, jnp.zeros((pad, 3))]),
+                train_pts=jnp.concatenate(
+                    [out.train_pts, jnp.zeros((pad, 3))]),
+                query_idx=jnp.concatenate(
+                    [out.query_idx, jnp.full(pad, -1, jnp.int32)]),
+                query_xy=jnp.concatenate(
+                    [out.query_xy, jnp.zeros((pad, 2))]),
+                valid=jnp.concatenate([out.valid, jnp.zeros(pad, bool)]))
+        return out
 
     return jax.vmap(one_object)(jnp.asarray(object_ids, jnp.int32))
 

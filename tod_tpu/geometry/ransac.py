@@ -214,21 +214,30 @@ def detect_object_instances(key, matches: ObjectMatches,
     """The reference's repeated-RANSAC multi-instance loop
     (GuessGenerator.cpp:192-231): run RANSAC, accept the pose if it has at
     least ``min_inliers`` unique query keypoints, invalidate those keypoints'
-    matches, repeat — bounded at ``max_instances``."""
+    matches, repeat — bounded at ``max_instances``.
 
-    def step(carry, key_i):
-        valid, active = carry
+    Deviation (documented): the reference breaks the loop at the first
+    round with too few inliers — sound there because each round is a full
+    adaptive search (up to 2500+ iterations, ransac.h:80-143). Our rounds
+    carry a FIXED parallel hypothesis budget, so a failed round can be
+    sampling noise while a later round (fresh Gumbel draws) finds a valid
+    certified pose; since the lax.scan always executes ``max_instances``
+    rounds anyway, a failed round here masks only itself instead of
+    blocking the rest — strictly better recall at identical cost, and any
+    accepted pose still holds the reference's acceptance contract
+    (>= min_inliers unique keypoints + clique certificate)."""
+
+    def step(valid, key_i):
         round_ = ransac_round(key_i, matches, graphs, valid, cfg)
-        accept = active & round_.found & (round_.n_unique >= cfg.min_inliers)
+        accept = round_.found & (round_.n_unique >= cfg.min_inliers)
         valid_next = jnp.where(
             accept,
             invalidate_query_indices(valid, graphs.sample, matches.query_idx,
                                      round_.inliers),
             valid)
         out = (round_.R, round_.T, round_.n_unique, accept)
-        return (valid_next, accept), out
+        return valid_next, out
 
     keys = jax.random.split(key, cfg.max_instances)
-    (_, _), (rs, ts, counts, accepted) = jax.lax.scan(
-        step, (graphs.valid, jnp.asarray(True)), keys)
+    _, (rs, ts, counts, accepted) = jax.lax.scan(step, graphs.valid, keys)
     return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted)

@@ -42,7 +42,9 @@ class TodDetector(BlackBox):
                                     Forward("json_descriptor_params")],
              "guess_generator": [Forward("n_ransac_iterations"),
                                  Forward("min_inliers"),
-                                 Forward("sensor_error")]}
+                                 Forward("sensor_error"),
+                                 Forward("max_active_objects"),
+                                 Forward("object_batch")]}
         i = {"passthrough": [Forward("image"), Forward("K_image")],
              "feature_descriptor": [Forward("mask")],
              "depth_map": [Forward("depth_in", "depth")]}

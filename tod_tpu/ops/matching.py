@@ -58,12 +58,17 @@ def _merge_topk(best_d, best_i, new_d, new_i, k):
 
 
 def hamming_topk(query_u8: jax.Array, db_u8: jax.Array, n_db_valid,
-                 k: int = 5, chunk: int = 16384) -> Tuple[jax.Array, jax.Array]:
+                 k: int = 5, chunk: int = 16384,
+                 vary: Tuple[str, ...] = ()) -> Tuple[jax.Array, jax.Array]:
     """Exact k-NN by Hamming distance.
 
     ``query_u8``: (Q, 32) uint8; ``db_u8``: (N, 32) uint8 with N a multiple of
     ``chunk`` (pad with zeros and pass the true count as ``n_db_valid``).
     Returns ``(dist (Q,k) float32, idx (Q,k) int32)`` sorted ascending.
+
+    ``vary``: mesh axis names this call varies over when used inside
+    ``shard_map`` — the scan's constant carry init must be marked varying
+    (``jax.lax.pvary``) or the varying-across-mesh type check rejects it.
     """
     q_bits = unpack_bits(query_u8)                    # (Q, 256) bf16
     q_pop = popcount_rows(query_u8)[:, None]          # (Q, 1)
@@ -76,6 +81,8 @@ def hamming_topk(query_u8: jax.Array, db_u8: jax.Array, n_db_valid,
 
     q = query_u8.shape[0]
     init = (jnp.full((q, k), BIG_DIST), jnp.full((q, k), -1, jnp.int32))
+    if vary:
+        init = jax.tree.map(lambda x: jax.lax.pvary(x, vary), init)
 
     def body(carry, inp):
         c_idx, db_c = inp
@@ -98,7 +105,8 @@ def hamming_topk(query_u8: jax.Array, db_u8: jax.Array, n_db_valid,
 
 
 def l2_topk(query: jax.Array, db: jax.Array, n_db_valid, k: int = 5,
-            chunk: int = 4096) -> Tuple[jax.Array, jax.Array]:
+            chunk: int = 4096,
+            vary: Tuple[str, ...] = ()) -> Tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2 distance for float descriptors (the SIFT path
     implied by the reference's ``type: SIFT`` option, doc/source/index.rst:45).
     Same streaming-top-k contract as :func:`hamming_topk`."""
@@ -113,6 +121,8 @@ def l2_topk(query: jax.Array, db: jax.Array, n_db_valid, k: int = 5,
 
     qn = query.shape[0]
     init = (jnp.full((qn, k), BIG_DIST), jnp.full((qn, k), -1, jnp.int32))
+    if vary:
+        init = jax.tree.map(lambda x: jax.lax.pvary(x, vary), init)
 
     def body(carry, inp):
         c_idx, db_c = inp

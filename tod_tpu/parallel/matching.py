@@ -42,6 +42,19 @@ def _merge_topk_by_index(best_d, best_i, new_d, new_i, k):
             jnp.take_along_axis(i, pos, axis=1))
 
 
+def _replicate_over_db(dist, idx):
+    """Mark value-identical per-device results as replicated over 'db'.
+
+    Both matchers end with every 'db'-ring device holding the SAME merged
+    top-k, but the varying-across-mesh type system can't infer that (only
+    psum-family collectives clear variance), so out_specs=P('data', None)
+    would be rejected. A psum of shard 0's values is a type-safe,
+    value-preserving way to finish: one tiny (q_blk, k) collective."""
+    first = (jax.lax.axis_index("db") == 0)
+    return (jax.lax.psum(jnp.where(first, dist, 0.0), "db"),
+            jax.lax.psum(jnp.where(first, idx, 0), "db"))
+
+
 def sharded_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
                          n_db_valid, k: int = 5,
                          chunk: int = 16384) -> Tuple[jax.Array, jax.Array]:
@@ -64,7 +77,7 @@ def sharded_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
         offset = shard_id * shard_rows
         local_valid = jnp.clip(n_valid[0] - offset, 0, shard_rows)
         dist, idx = hamming_topk(q_blk, db_shard, local_valid, k=k,
-                                 chunk=chunk)
+                                 chunk=chunk, vary=("data", "db"))
         idx = jnp.where(idx >= 0, idx + offset, -1)
         # merge the per-shard top-k over the db axis (ICI all_gather)
         all_d = jax.lax.all_gather(dist, "db", axis=0)   # (D, q_blk, k)
@@ -72,16 +85,13 @@ def sharded_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
         d_flat = jnp.moveaxis(all_d, 0, 1).reshape(q_blk.shape[0], -1)
         i_flat = jnp.moveaxis(all_i, 0, 1).reshape(q_blk.shape[0], -1)
         nd, pos = jax.lax.top_k(-d_flat, k)
-        return -nd, jnp.take_along_axis(i_flat, pos, axis=1)
+        return _replicate_over_db(-nd, jnp.take_along_axis(i_flat, pos,
+                                                           axis=1))
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P("data", None), P("db", None), P()),
-        out_specs=(P("data", None), P("data", None)),
-        # the streaming-top-k scan inits its carry from constants, which fails
-        # the varying-across-mesh type check; the code is manually verified
-        # (exactness asserted against the single-device matcher in tests)
-        check_vma=False)
+        out_specs=(P("data", None), P("data", None)))
     n_valid_arr = jnp.asarray([n_db_valid], jnp.int32)
     return fn(query_u8, db_u8, n_valid_arr)
 
@@ -113,15 +123,17 @@ def ring_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
     def local(q_blk, db_shard, n_valid):
         my = jax.lax.axis_index("db")
         qn = q_blk.shape[0]
-        init_best = (jnp.full((qn, k), BIG_DIST), jnp.full((qn, k), -1,
-                                                           jnp.int32))
+        init_best = jax.tree.map(
+            lambda x: jax.lax.pvary(x, ("data", "db")),
+            (jnp.full((qn, k), BIG_DIST), jnp.full((qn, k), -1, jnp.int32)))
 
         def step(i, carry):
             (best_d, best_i), shard = carry
             src = (my + i) % n_db_shards        # original owner of `shard`
             offset = src * shard_rows
             local_valid = jnp.clip(n_valid[0] - offset, 0, shard_rows)
-            d, idx = hamming_topk(q_blk, shard, local_valid, k=k, chunk=chunk)
+            d, idx = hamming_topk(q_blk, shard, local_valid, k=k, chunk=chunk,
+                                  vary=("data", "db"))
             idx = jnp.where(idx >= 0, idx + offset, -1)
             merged = _merge_topk_by_index(best_d, best_i, d, idx, k)
             shard = jax.lax.ppermute(shard, "db", perm)
@@ -129,12 +141,11 @@ def ring_hamming_topk(mesh: Mesh, query_u8: jax.Array, db_u8: jax.Array,
 
         (best_d, best_i), _ = jax.lax.fori_loop(
             0, n_db_shards, step, (init_best, db_shard))
-        return best_d, best_i
+        return _replicate_over_db(best_d, best_i)
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P("data", None), P("db", None), P()),
-        out_specs=(P("data", None), P("data", None)),
-        check_vma=False)
+        out_specs=(P("data", None), P("data", None)))
     n_valid_arr = jnp.asarray([n_db_valid], jnp.int32)
     return fn(query_u8, db_u8, n_valid_arr)

@@ -140,6 +140,36 @@ def main():
     n_desc = sum(m.n_points for m in all_models)
     log(f"database: {len(all_models)} objects, {n_desc} descriptors")
 
+    # compiled-Pallas parity gate: the fused Mosaic kernel must match the
+    # XLA matcher EXACTLY on this hardware before any FPS is reported
+    # (tests run the kernel interpreted on CPU; this is the real thing)
+    if jax.default_backend() != "cpu":
+        from tod_tpu.ops.matching import hamming_topk, pad_db
+        from tod_tpu.ops.pallas.hamming import (hamming_topk_fused,
+                                                pack_db_bits, pad_queries)
+        import jax.numpy as jnp
+
+        rng_p = np.random.default_rng(3)
+        qs = np.concatenate([all_models[0].descriptors[:256],
+                             rng_p.integers(0, 256, (256, 32), np.uint8)])
+        db_p, nv = pad_db(np.concatenate(
+            [m.descriptors for m in all_models[:8]]).astype(np.uint8), 2048)
+        bits_t, pop = pack_db_bits(jnp.asarray(db_p), jnp.int8)
+        qp, qn = pad_queries(qs)
+        d_f, i_f = hamming_topk_fused(jnp.asarray(qp), bits_t, pop, nv,
+                                      k=5, radius=35.0, db_chunk=2048)
+        d_x, i_x = hamming_topk(jnp.asarray(qs), jnp.asarray(db_p), nv,
+                                k=5, chunk=2048)
+        keep = np.asarray(d_x) <= 35.0
+        ok_d = (np.asarray(d_f)[:qn] == np.where(keep, np.asarray(d_x),
+                                                 1e9)).all()
+        ok_i = (np.asarray(i_f)[:qn] == np.where(keep, np.asarray(i_x),
+                                                 -1)).all()
+        if not (ok_d and ok_i):
+            raise AssertionError("fused Pallas kernel diverges from the XLA "
+                                 "matcher on this hardware")
+        log("pallas parity gate: compiled fused kernel exact vs XLA ✓")
+
     cfg = FusedDetectorConfig(
         n_features=n_features,
         guess=GuessConfig(

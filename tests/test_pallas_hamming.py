@@ -72,3 +72,39 @@ def test_fused_radius_semantics(rng):
         np.testing.assert_array_equal(i_rad[r][: keep.sum()], i_all[r][keep])
         assert (i_rad[r][keep.sum():] == -1).all()
         assert (d_rad[r][keep.sum():] >= 1e8).all()
+
+
+def test_fused_kernel_compiled_on_tpu_exact(rng):
+    """Hardware-gated: the MOSAIC-COMPILED fused kernel (not the interpreter)
+    must match the XLA streaming matcher exactly on the real TPU. Run with
+    TOD_TPU_TESTS=1 (serially — the TPU tunnel is single-client); skipped on
+    CPU where only the interpreter runs."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs real TPU (TOD_TPU_TESTS=1)")
+    from tod_tpu.ops.matching import hamming_topk, pad_db
+    from tod_tpu.ops.pallas.hamming import (hamming_topk_fused, pack_db_bits,
+                                            pad_queries)
+
+    q = rng.integers(0, 256, (1024, 32), dtype=np.uint8)
+    db_raw = rng.integers(0, 256, (3 * 2048, 32), dtype=np.uint8)
+    # plant near matches so the radius path is exercised
+    db_raw[100:1124] = q ^ (rng.integers(0, 2, (1024, 32)).astype(np.uint8))
+    db, n_valid = pad_db(db_raw, 2048)
+    n_valid -= 17
+    bits_t, pop = pack_db_bits(jnp.asarray(db), jnp.int8)
+    qp, qn = pad_queries(q)
+    for radius in (None, 35.0):
+        d_f, i_f = hamming_topk_fused(jnp.asarray(qp), bits_t, pop, n_valid,
+                                      k=5, radius=radius, db_chunk=2048)
+        d_x, i_x = hamming_topk(jnp.asarray(q), jnp.asarray(db), n_valid,
+                                k=5, chunk=2048)
+        d_f = np.asarray(d_f)[:qn]
+        i_f = np.asarray(i_f)[:qn]
+        if radius is not None:
+            keep = np.asarray(d_x) <= radius
+            d_x = np.where(keep, np.asarray(d_x), 1e9)
+            i_x = np.where(keep, np.asarray(i_x), -1)
+        np.testing.assert_array_equal(d_f, np.asarray(d_x))
+        np.testing.assert_array_equal(i_f, np.asarray(i_x))

@@ -1,0 +1,118 @@
+"""SIFT/float descriptor path: invariance sanity + the full end-to-end
+train -> detect flow through the cell graph with L2 matching (the
+reference's ``type: SIFT`` config option, doc/source/index.rst:45)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tod_tpu.utils.synthetic import (
+    DEFAULT_K,
+    SyntheticObject,
+    compose_scene,
+    facing_pose,
+    turntable_observations,
+)
+
+
+def test_sift_rotation_invariance():
+    """Descriptors of the same physical points under a 30-degree in-plane
+    rotation must be much closer than unrelated descriptors."""
+    from scipy.spatial import cKDTree
+
+    from tod_tpu.ops.sift import sift_detect_and_compute
+    from tod_tpu.utils.synthetic import render_plane
+
+    obj = SyntheticObject.make("s", seed=77)
+    K = DEFAULT_K
+
+    def render(deg):
+        a = np.radians(deg)
+        R = np.array([[np.cos(a), -np.sin(a), 0],
+                      [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+        T = np.array([0.0, 0.0, 0.8])
+        canvas, _, _ = render_plane(obj.texture, obj.size_m, R, T, K,
+                                    (480, 640))
+        return canvas.astype(np.float32), R, T
+
+    base, R0, T0 = render(0)
+    kps0, d0 = sift_detect_and_compute(jnp.asarray(base), n_features=400)
+    v0 = np.asarray(kps0.valid)
+    xy0 = np.asarray(kps0.xy)[v0]
+    d0 = np.asarray(d0)[v0]
+    img, R1, T1 = render(30)
+    kps1, d1 = sift_detect_and_compute(jnp.asarray(img), n_features=400)
+    v1 = np.asarray(kps1.valid)
+    xy1 = np.asarray(kps1.xy)[v1]
+    d1 = np.asarray(d1)[v1]
+
+    rays = np.concatenate([(xy0 - [K[0, 2], K[1, 2]]) / [K[0, 0], K[1, 1]],
+                           np.ones((len(xy0), 1))], 1)
+    lam = (R0.T @ T0)[2] / (rays @ R0[:, 2])
+    obj_pts = (rays * lam[:, None] - T0) @ R0
+    cam1 = obj_pts @ R1.T + T1
+    pix1 = cam1 @ K.T
+    pix1 = pix1[:, :2] / pix1[:, 2:3]
+    dd, ii = cKDTree(xy1).query(pix1, k=1)
+    ok = dd < 1.0
+    assert ok.sum() > 50
+    same = np.linalg.norm(d0[ok] - d1[ii[ok]], axis=1)
+    rng = np.random.default_rng(0)
+    rand = np.linalg.norm(
+        d0[ok] - d1[rng.integers(0, len(d1), int(ok.sum()))], axis=1)
+    # corresponding descriptors must be clearly below the unrelated cloud
+    assert np.median(same) < 0.6 * np.median(rand), \
+        f"same {np.median(same):.3f} vs random {np.median(rand):.3f}"
+
+
+@pytest.mark.slow
+def test_sift_train_detect_e2e():
+    """Full float path: SIFT training -> model DB (float32 attachments) ->
+    TodDetector cell graph with L2 search -> pose recovered."""
+    from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
+    from tod_tpu.models import TodDetector, TodTrainer
+
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("sift_e2e")
+    hw = (240, 320)
+    K = DEFAULT_K.copy()
+    K[:2] //= 2
+    obj = SyntheticObject.make("sift_obj", seed=55)
+    for obs in turntable_observations(obj, n_views=8,
+                                      elevations_deg=(75.0, 55.0),
+                                      hw=hw, K=K):
+        insert_observation(db, "sift_obj", obs["frame_number"], obs["image"],
+                           obs["depth"], obs["mask"], obs["K"], obs["R"],
+                           obs["T"])
+    TodTrainer(
+        "t", object_id="sift_obj",
+        json_db=json.dumps({"type": "mem", "collection": "sift_e2e"}),
+        json_feature_params=json.dumps(
+            {"type": "SIFT", "n_features": 400})).process()
+    models = load_models_for_objects(db, "all")
+    assert models[0].descriptors.dtype == np.float32
+    assert models[0].descriptors.shape[1] == 128
+
+    rng = np.random.default_rng(3)
+    gt_R, gt_T = facing_pose(rng, z=0.75, max_tilt=0.25, xy_extent=0.05)
+    image, depth = compose_scene([obj], [(gt_R, gt_T)], hw=hw, K=K)
+
+    det = TodDetector(
+        "detector",
+        json_feature_params=json.dumps({"type": "SIFT", "n_features": 800}),
+        search=json.dumps({"type": "L2", "radius": 0.9}),
+        json_db=json.dumps({"type": "mem", "collection": "sift_e2e"}),
+        n_ransac_iterations=512, min_inliers=8, sensor_error=0.01)
+    det.inputs["image"] = image
+    det.inputs["depth"] = depth
+    det.inputs["K_image"] = K
+    det.inputs["mask"] = None
+    det.process()
+    poses = det.outputs["pose_results"]
+    assert poses, "no pose found through the SIFT/L2 path"
+    best = max(poses, key=lambda p: p.confidence)
+    assert np.linalg.norm(best.T - gt_T) < 0.02

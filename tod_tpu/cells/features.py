@@ -25,11 +25,17 @@ from tod_tpu.utils.config import parse_json_params
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_orb(n_features: int, n_levels: int, scale_factor: float,
-                fast_threshold: float, with_mask: bool):
+def _jitted_features(feat_type: str, n_features: int, n_levels: int,
+                     scale_factor: float, fast_threshold: float,
+                     with_mask: bool):
+    if feat_type == "SIFT":
+        from tod_tpu.ops.sift import sift_detect_and_compute as detect
+    else:
+        detect = orb_detect_and_compute
+
     @jax.jit
     def run(gray, mask=None):
-        return orb_detect_and_compute(
+        return detect(
             gray, n_features=n_features, n_levels=n_levels,
             scale_factor=scale_factor, fast_threshold=fast_threshold,
             mask=mask)
@@ -57,15 +63,16 @@ class FeatureDescriptor(Cell):
         i.declare("mask", "Optional detection mask (H,W).")
         i.declare("depth", "Optional depth (unused; parity with ecto port).")
         o.declare("keypoints", "Keypoints structure (padded, masked).")
-        o.declare("descriptors", "(K,32) uint8 binary descriptors.")
+        o.declare("descriptors", "(K,32) uint8 ORB bits, or (K,128) float32 "
+                  "SIFT descriptors when feature type is SIFT.")
 
     def configure(self) -> None:
         feat = parse_json_params(self.params["json_feature_params"])
         self._type = feat.get("type", "ORB")
-        if self._type not in ("ORB",):
+        if self._type not in ("ORB", "SIFT"):
             raise ValueError(
-                f"feature type {self._type!r} not implemented (ORB only; the "
-                "SIFT/L2 path is exposed through the matcher's float mode)")
+                f"feature type {self._type!r} not implemented "
+                "(ORB and SIFT are supported, doc/source/index.rst:45)")
         self._n_features = int(feat.get("n_features", 1000))
         self._n_levels = int(feat.get("n_levels", 3))
         self._scale = float(feat.get("scale_factor", 1.2))
@@ -78,8 +85,9 @@ class FeatureDescriptor(Cell):
         if image.ndim == 3:
             gray = rgb_to_gray(gray)
         mask = self.inputs["mask"]
-        fn = _jitted_orb(self._n_features, self._n_levels, self._scale,
-                         self._fast_threshold, mask is not None)
+        fn = _jitted_features(self._type, self._n_features, self._n_levels,
+                              self._scale, self._fast_threshold,
+                              mask is not None)
         if mask is not None:
             kps, desc = fn(gray, jnp.asarray(np.asarray(mask)))
         else:

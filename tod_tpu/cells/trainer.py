@@ -32,9 +32,9 @@ from tod_tpu.utils.config import parse_json_params
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_train_views(n_features: int, n_levels: int, scale_factor: float,
-                        fast_threshold: float, img_hw: Tuple[int, int],
-                        rgb: bool):
+def _jitted_train_views(feat_type: str, n_features: int, n_levels: int,
+                        scale_factor: float, fast_threshold: float,
+                        img_hw: Tuple[int, int], rgb: bool):
     """One jitted program for a whole view batch:
     (images, masks, depths, Ks, Rs, Ts) stacked over the view axis ->
     (descriptors (V,K,32), world points (V,K,3), valid (V,K)).
@@ -54,7 +54,7 @@ def _jitted_train_views(n_features: int, n_levels: int, scale_factor: float,
         return train_views_step(
             grays, masks, depths_m, Ks, Rs, Ts, n_features=n_features,
             n_levels=n_levels, scale_factor=scale_factor,
-            fast_threshold=fast_threshold)
+            fast_threshold=fast_threshold, feature_type=feat_type)
 
     return run
 
@@ -91,10 +91,12 @@ class Trainer(Cell):
 
     def configure(self) -> None:
         feat = parse_json_params(self.params["json_feature_params"])
-        if feat.get("type", "ORB") != "ORB":
-            raise ValueError("training supports ORB features "
-                             "(the reference hardcodes ORB too, "
-                             "Trainer.cpp:143-150)")
+        self._type = feat.get("type", "ORB")
+        if self._type not in ("ORB", "SIFT"):
+            # the reference hardcodes ORB (Trainer.cpp:143-150); we support
+            # the documented SIFT option too (doc/source/index.rst:45)
+            raise ValueError(f"training supports ORB or SIFT features, "
+                             f"not {self._type!r}")
         self._n_features = int(feat.get("n_features", 1000))
         self._n_levels = int(feat.get("n_levels", 3))
         self._scale = float(feat.get("scale_factor", 1.2))
@@ -116,7 +118,7 @@ class Trainer(Cell):
         pts_all: List[np.ndarray] = []
         for (img_shape, _), group in groups.items():
             run = _jitted_train_views(
-                self._n_features, self._n_levels, self._scale,
+                self._type, self._n_features, self._n_levels, self._scale,
                 self._fast_threshold, img_shape[:2], len(img_shape) == 3)
             images = np.stack([np.asarray(o.image) for o in group])
             masks = np.stack([np.asarray(o.mask) for o in group])
@@ -135,6 +137,25 @@ class Trainer(Cell):
                 desc_all.append(desc.reshape(-1, desc.shape[-1])[flat])
                 pts_all.append(world.reshape(-1, 3)[flat])
 
+            viz = self.params["visualize"]
+            if viz:
+                # the reference pops a window per observation with the
+                # surviving keypoints (Trainer.cpp:173-180); headless: PNGs
+                # of the validated points projected back into each view
+                import cv2
+
+                from tod_tpu.utils.visualize import draw_keypoints
+
+                prefix = viz if isinstance(viz, str) else "/tmp/tod_tpu_train"
+                for v in range(min(len(group), 4)):
+                    cam = world[v][valid[v]] @ Rs[v].T + Ts[v]
+                    pix = cam @ Ks[v].T
+                    xy = pix[:, :2] / np.maximum(pix[:, 2:3], 1e-6)
+                    overlay = draw_keypoints(images[v], xy)
+                    cv2.imwrite(
+                        f"{prefix}_{self.inputs['object_id']}_v{v:02d}.png",
+                        overlay if overlay.ndim == 2 else overlay[..., ::-1])
+
         # mergePoints (training.cpp:147-173)
         if desc_all:
             descriptors = np.concatenate(desc_all)
@@ -144,7 +165,8 @@ class Trainer(Cell):
             points = np.zeros((0, 3), np.float32)
 
         dedup = int(self.params["dedup_hamming"])
-        if dedup > 0 and len(descriptors) > 1:
+        if dedup > 0 and len(descriptors) > 1 \
+                and descriptors.dtype == np.uint8:  # Hamming dedup: ORB only
             from tod_tpu.ops.compress import compress_model
 
             descriptors, points = compress_model(
@@ -167,8 +189,10 @@ class ModelFiller(Cell):
 
     def process(self) -> None:
         doc = Document(fields={"Type": "Model", "method": "TOD"})
-        doc.set_attachment("descriptors",
-                           np.asarray(self.inputs["descriptors"], np.uint8))
+        desc = np.asarray(self.inputs["descriptors"])
+        if desc.dtype != np.float32:  # binary ORB bits; floats = SIFT path
+            desc = desc.astype(np.uint8)
+        doc.set_attachment("descriptors", desc)
         doc.set_attachment("points",
                            np.asarray(self.inputs["points"], np.float32))
         self.outputs["db_document"] = doc

@@ -26,7 +26,7 @@ class TodDetector(BlackBox):
     @classmethod
     def declare_cells(cls, p: Tendrils):
         guess_params = {"visualize": p["visualize"], "db": p["json_db"]}
-        return {
+        cells = {
             "depth_map": CellInfo(RescaledRegisteredDepth),
             "feature_descriptor": CellInfo(FeatureDescriptor),
             "guess_generator": CellInfo(GuessGenerator, guess_params),
@@ -35,6 +35,15 @@ class TodDetector(BlackBox):
                 {"items": {"image": "An image",
                            "K_image": "The camera matrix"}}),
         }
+        if p["visualize"]:
+            # the reference's DrawKeypoints + imshow + PosesDrawer subgraph
+            # (detector.py:84-108), headless: PNG sink per frame
+            from tod_tpu.cells.viz import PoseDrawer
+
+            prefix = (p["visualize"] if isinstance(p["visualize"], str)
+                      else "/tmp/tod_tpu_viz")
+            cells["pose_drawer"] = CellInfo(PoseDrawer, {"prefix": prefix})
+        return cells
 
     @classmethod
     def declare_forwards(cls, _p):
@@ -94,4 +103,13 @@ class TodDetector(BlackBox):
                   >> self.descriptor_matcher["descriptors"],
                   self.descriptor_matcher["matches", "matches_3d"]
                   >> self.guess_generator["matches", "matches_3d"]]
+
+        if p["visualize"]:
+            graph += [self.passthrough["image"] >> self.pose_drawer["image"],
+                      self.passthrough["K_image"]
+                      >> self.pose_drawer["K_image"],
+                      self.feature_descriptor["keypoints"]
+                      >> self.pose_drawer["keypoints"],
+                      self.guess_generator["pose_results"]
+                      >> self.pose_drawer["pose_results"]]
         return graph

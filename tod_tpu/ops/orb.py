@@ -18,6 +18,7 @@ Design notes (deliberate deviations, all self-consistent between train/detect):
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -55,9 +56,28 @@ class Keypoints(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def brief_pattern(seed: int = 1234, n_bits: int = N_BITS) -> np.ndarray:
-    """(n_bits, 2, 2) int32 point-pair pattern, i.i.d. Gaussian with
-    sigma = patch/5 clipped to +/-PATCH_RADIUS (BRIEF G(0, S^2/25) sampling);
-    degenerate equal pairs are rejected deterministically."""
+    """(n_bits, 2, 2) int32 point-pair test pattern.
+
+    Default: seeded i.i.d. Gaussian pairs (the BRIEF-paper construction),
+    sigma = patch/5, clipped to +/-PATCH_RADIUS, degenerate pairs rejected
+    deterministically. Descriptors are a private format between our trainer
+    and detector.
+
+    TOD_BRIEF_PATTERN=learned switches to the decorrelated pattern built by
+    tools/learn_brief.py (ORB-paper greedy selection). Measured negative
+    result, kept for reproducibility: on trained models it raises junk NN
+    distances AND true-match distances by the same ~1.5x (correct/junk
+    separation unchanged — cross-view repeatability, not bit correlation,
+    is the limiting factor), while breaking radius-35 configs tuned to the
+    Gaussian distance scale.
+    """
+    if os.environ.get("TOD_BRIEF_PATTERN", "gaussian") == "learned":
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "brief_pattern_learned.npy")
+        if os.path.exists(path):
+            pat = np.load(path).astype(np.int32)
+            if pat.shape == (n_bits, 2, 2):
+                return pat
     rs = np.random.RandomState(seed)
     sigma = (2 * PATCH_RADIUS + 1) / 5.0
     pairs = np.zeros((n_bits, 2, 2), np.int32)

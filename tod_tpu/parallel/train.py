@@ -27,12 +27,18 @@ def train_views_step(grays: jax.Array, masks: jax.Array, depths_m: jax.Array,
                      Ks: jax.Array, Rs: jax.Array, Ts: jax.Array,
                      n_features: int = 1000, n_levels: int = 3,
                      scale_factor: float = 1.2,
-                     fast_threshold: float = 20.0) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                     fast_threshold: float = 20.0,
+                     feature_type: str = "ORB") -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched per-view model building: (V,H,W) grays/masks/depths ->
-    (V,K,32) descriptors, (V,K,3) world points, (V,K) valid."""
+    (V,K,D) descriptors (u8 ORB bits or f32 SIFT), (V,K,3) world points,
+    (V,K) valid."""
+    if feature_type == "SIFT":
+        from tod_tpu.ops.sift import sift_detect_and_compute as detect
+    else:
+        detect = orb_detect_and_compute
 
     def one_view(gray, mask, depth_m, K, R, T):
-        kps, desc = orb_detect_and_compute(
+        kps, desc = detect(
             gray, n_features=n_features, n_levels=n_levels,
             scale_factor=scale_factor, fast_threshold=fast_threshold,
             mask=mask)

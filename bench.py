@@ -170,8 +170,14 @@ def main():
                                  "matcher on this hardware")
         log("pallas parity gate: compiled fused kernel exact vs XLA ✓")
 
+    # Operating point: radius 50 / k 8 measured best for recall on the
+    # synthetic texture statistics (tools/exp_recall3.py sweep; the .ork
+    # default radius 35 / k 5 is tuned for real-camera captures and stays
+    # the config default). min_inliers 8 per conf/detection.ork:41.
     cfg = FusedDetectorConfig(
         n_features=n_features,
+        radius=float(os.environ.get("BENCH_RADIUS", "50")),
+        k_matches=int(os.environ.get("BENCH_K", "8")),
         guess=GuessConfig(
             ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
                                 max_instances=3),

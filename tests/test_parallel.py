@@ -241,3 +241,40 @@ def test_sharded_detection_pose_parity(devices8):
                                    np.asarray(ref[b].R)[sel], atol=1e-3)
         np.testing.assert_array_equal(np.asarray(det.n_inliers[b])[sel],
                                       np.asarray(ref[b].n_inliers)[sel])
+
+
+def test_pipelined_detector_matches_single_device(devices8, rng):
+    """PP analog (SURVEY 2c): the 3-stage device-pipelined detector placed on
+    three distinct devices must produce the same detections as the
+    single-device staged detector."""
+    from tod_tpu.db.models import TodModel
+    from tod_tpu.models import FusedDetector, FusedDetectorConfig
+    from tod_tpu.parallel import PipelinedDetector
+    from tod_tpu.geometry.detection import GuessConfig
+    from tod_tpu.geometry.ransac import RansacConfig
+
+    desc = rng.integers(0, 256, (600, 32), dtype=np.uint8)
+    pts = rng.uniform(-0.1, 0.1, (600, 3)).astype(np.float32)
+    models = [TodModel(f"o{i}", desc[i * 200:(i + 1) * 200],
+                       pts[i * 200:(i + 1) * 200]) for i in range(3)]
+    cfg = FusedDetectorConfig(
+        n_features=256, db_chunk=512,
+        guess=GuessConfig(ransac=RansacConfig(n_hypotheses=128),
+                          max_matches_per_object=64))
+    image = rng.integers(0, 255, (96, 128)).astype(np.float32)
+    depth = np.full((96, 128), 0.8, np.float32)
+    K = np.array([[100, 0, 64], [0, 100, 48], [0, 0, 1]], np.float32)
+
+    ref = FusedDetector(models, cfg, seed=0)
+    g, d, k = ref.prepare_frame(image, depth, K)
+    _, det_ref = ref.detect_raw(g, d, k)
+
+    pipe = PipelinedDetector(models, cfg, devices=jax.devices()[:3], seed=0)
+    frames = [pipe.prepare_frame(image, depth, K)]
+    dets = pipe.detect_stream(frames)
+    for f in ("R", "T", "n_inliers", "accepted"):
+        np.testing.assert_allclose(np.asarray(getattr(dets[0], f)),
+                                   np.asarray(getattr(det_ref, f)),
+                                   atol=1e-6)
+    # stage outputs really live on the intended devices
+    assert list(dets[0].R.devices())[0] == jax.devices()[2]

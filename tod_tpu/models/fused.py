@@ -190,16 +190,30 @@ def _stage_features(gray, depth, K, cfg: FusedDetectorConfig):
     return kps, desc, query_pts
 
 
-def _stage_geometry(key, kps_xy, kps_valid, dist, rows, query_pts, db,
-                    cfg: FusedDetectorConfig):
+class GeomDb(NamedTuple):
+    """The geometry stage's slice of the model DB (separable from the
+    matcher operands so pipeline parallelism can place it on its own
+    device, parallel/pipeline.py)."""
+
+    points: jax.Array       # (N_pad, 3)
+    obj_of_row: jax.Array   # (N_pad,)
+    spans: jax.Array        # (O,)
+
+
+def _stage_geometry(key, kps_xy, kps_valid, dist, rows, query_pts,
+                    geom: GeomDb, cfg: FusedDetectorConfig):
     m_valid = (rows >= 0) & (dist <= cfg.radius) & kps_valid[:, None]
     safe_rows = jnp.maximum(rows, 0)
-    obj_idx = jnp.where(m_valid, db.obj_of_row[safe_rows], -1)
-    train_pts = db.points[safe_rows]
+    obj_idx = jnp.where(m_valid, geom.obj_of_row[safe_rows], -1)
+    train_pts = geom.points[safe_rows]
     _, detections = detect_frame_from_matches(
         key, obj_idx, dist, m_valid, train_pts, query_pts, kps_xy,
-        db.spans, cfg.guess)
+        geom.spans, cfg.guess)
     return detections
+
+
+def geom_db(db: ModelDb) -> GeomDb:
+    return GeomDb(points=db.points, obj_of_row=db.obj_of_row, spans=db.spans)
 
 
 @functools.lru_cache(maxsize=4)
@@ -242,7 +256,8 @@ class FusedDetector:
         if not self.object_ids:  # empty DB: nothing to match against
             return kps, _empty_detections(0, self.config)
         dist, rows = s2(desc, self.db)
-        det = s3(sub, kps.xy, kps.valid, dist, rows, query_pts, self.db)
+        det = s3(sub, kps.xy, kps.valid, dist, rows, query_pts,
+                 geom_db(self.db))
         return kps, det
 
     @functools.lru_cache(maxsize=2)
@@ -268,7 +283,8 @@ class FusedDetector:
                 lambda x: jnp.broadcast_to(x[None], (b,) + x.shape),
                 _empty_detections(0, self.config))
         dist, rows = s2(desc, self.db)
-        det = s3(keys, kps.xy, kps.valid, dist, rows, query_pts, self.db)
+        det = s3(keys, kps.xy, kps.valid, dist, rows, query_pts,
+                 geom_db(self.db))
         return kps, det
 
     def detect(self, image: np.ndarray, depth: np.ndarray,

@@ -6,3 +6,4 @@ from tod_tpu.parallel.train import train_views_sharded
 
 __all__ = ["make_mesh", "sharded_hamming_topk", "ring_hamming_topk",
            "detect_batch_sharded", "train_views_sharded"]
+from tod_tpu.parallel.pipeline import PipelinedDetector  # noqa: E402,F401

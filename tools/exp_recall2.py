@@ -68,10 +68,13 @@ def recall(objects, models, radius, k, n_q=5000):
             hits += int(best is not None and best <= 0.02)
     return hits, total
 
-for tag, nv, elevs, nf in (
+SWEEP = (
         ("C 12azx3el nf1500", 12, (85.0, 60.0, 35.0), 1500),
         ("D 24azx3el nf600 ", 24, (85.0, 60.0, 35.0), 600),
-        ("E 24azx3el nf1500", 24, (85.0, 60.0, 35.0), 1500)):
-    objects, models = build(nv, elevs, nf)
-    h, t = recall(objects, models, 45, 8)
-    bench.log(f"{tag}: r=45 k=8 -> {h}/{t}")
+        ("E 24azx3el nf1500", 24, (85.0, 60.0, 35.0), 1500))
+
+if __name__ == "__main__":
+    for tag, nv, elevs, nf in SWEEP:
+        objects, models = build(nv, elevs, nf)
+        h, t = recall(objects, models, 45, 8)
+        bench.log(f"{tag}: r=45 k=8 -> {h}/{t}")

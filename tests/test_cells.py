@@ -133,7 +133,7 @@ def test_trainer_batched_matches_per_view():
 
     # per-view reference: the same jitted program with V=1 view at a time
     img_hw = views[0]["image"].shape[:2]
-    run = _jitted_train_views(200, 3, 1.2, 20.0, img_hw,
+    run = _jitted_train_views("ORB", 200, 3, 1.2, 20.0, img_hw,
                               views[0]["image"].ndim == 3)
     ref_desc, ref_pts = [], []
     for obs in views:

@@ -170,14 +170,39 @@ def main():
                                  "matcher on this hardware")
         log("pallas parity gate: compiled fused kernel exact vs XLA ✓")
 
-    # Operating point: radius 50 / k 8 measured best for recall on the
-    # synthetic texture statistics (tools/exp_recall3.py sweep; the .ork
-    # default radius 35 / k 5 is tuned for real-camera captures and stays
-    # the config default). min_inliers 8 per conf/detection.ork:41.
+        # segmented kernel gate: compiled per-object top-1 vs XLA reference
+        from tod_tpu.ops.pallas.segmented import (object_top1_fused,
+                                                  object_top1_xla,
+                                                  pack_segmented)
+
+        sdb_g = pack_segmented(all_models[:8])
+        qg = jnp.asarray(np.concatenate(
+            [all_models[0].descriptors[:256],
+             rng_p.integers(0, 256, (256, 32), np.uint8)]))
+        dg_f, ig_f = jax.jit(object_top1_fused)(qg, sdb_g)
+        dg_x, ig_x = jax.jit(object_top1_xla)(qg, sdb_g)
+        if not ((np.asarray(dg_f) == np.asarray(dg_x)).all()
+                and (np.asarray(ig_f) == np.asarray(ig_x)).all()):
+            raise AssertionError("segmented Pallas kernel diverges from the "
+                                 "XLA reference on this hardware")
+        log("pallas parity gate: segmented per-object kernel exact vs XLA ✓")
+
+    # Serving pipeline: per-object segmented matching + tier-1 geometric
+    # activation (tools/diag_* measurements: global kNN keeps only 12-16
+    # correct unique keypoints per present object vs 49-72 per-object, and
+    # match-count activation is near-random on weakly-distinctive textures).
+    # radius 50 per tools/exp_recall3.py; min_inliers 8 per
+    # conf/detection.ork:41.
+    from tod_tpu.geometry.detection import ActivationConfig
+
     cfg = FusedDetectorConfig(
         n_features=n_features,
+        pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
+        q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
         radius=float(os.environ.get("BENCH_RADIUS", "50")),
         k_matches=int(os.environ.get("BENCH_K", "8")),
+        activation=ActivationConfig(
+            m_cap=256, n_hypotheses=256, object_batch=20),
         guess=GuessConfig(
             ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
                                 max_instances=3),
@@ -278,13 +303,16 @@ def main():
     log(f"{n_frames} frames (streaming) in {dt:.2f}s -> {fps_stream:.2f} FPS")
     fps = max(fps_batch, fps_stream)
 
-    # secondary: matcher-only throughput vs CPU brute force
+    # secondary: matcher-only throughput vs CPU brute force (the global
+    # exact-kNN matcher, independent of the serving pipeline choice)
     try:
         import jax.numpy as jnp
         from tod_tpu.native import hamming_knn_cpu
-        from tod_tpu.models.fused import match_against_db
+        from tod_tpu.models.fused import match_against_db, pack_models
         from tod_tpu.ops.pallas.hamming import pad_queries
 
+        gdb = (det.db if not det.segmented
+               else pack_models(all_models, cfg.db_chunk)[0])
         q = np.random.default_rng(1).integers(
             0, 256, (n_features, 32), dtype=np.uint8)
         qp, _ = pad_queries(q)
@@ -292,16 +320,16 @@ def main():
         # db passed as an ARGUMENT: closing over it bakes 300+MB of
         # constants into the HLO and the tunnel rejects the upload (413)
         fn = jax.jit(lambda a, db: match_against_db(a, db, cfg))
-        float(fn(jq, det.db)[0].sum())  # hard sync (block_until_ready lies)
+        float(fn(jq, gdb)[0].sum())  # hard sync (block_until_ready lies)
         t0 = time.time()
         reps = 10
         for _ in range(reps):
-            d, _ = fn(jq, det.db)
+            d, _ = fn(jq, gdb)
         float(d.sum())
         tpu_rate = reps * len(qp) * n_desc / (time.time() - t0)
 
         n_cpu_db = min(n_desc, 100_000)
-        db_cpu = np.asarray(jax.device_get(det.db.descriptors))[:n_cpu_db]
+        db_cpu = np.asarray(jax.device_get(gdb.descriptors))[:n_cpu_db]
         t0 = time.time()
         hamming_knn_cpu(q[:1024], db_cpu, k=5)
         cpu_rate = 1024 * n_cpu_db / (time.time() - t0)

@@ -24,6 +24,7 @@ from tod_tpu.geometry.ransac import (
     ObjectDetections,
     RansacConfig,
     detect_object_instances,
+    presence_score,
 )
 
 
@@ -165,12 +166,18 @@ def detect_frame_from_matches(
     if n_active == n_objects:
         return clustered, det
 
-    # scatter active-object results back to the full object axis; inactive
-    # slots target an out-of-bounds row and are dropped (never clobber row 0)
+    return clustered, scatter_detections(det, active, n_objects)
+
+
+def scatter_detections(det: ObjectDetections, active: jax.Array,
+                       n_objects: int) -> ObjectDetections:
+    """Scatter active-object results back to the full object axis; inactive
+    slots (-1) target an out-of-bounds row and are dropped (never clobber
+    row 0)."""
     n_inst = det.R.shape[1]
     safe = jnp.where(active >= 0, active, n_objects)
     acc = det.accepted & (active >= 0)[:, None]
-    full = ObjectDetections(
+    return ObjectDetections(
         R=jnp.zeros((n_objects, n_inst, 3, 3)).at[safe].set(
             det.R, mode="drop"),
         T=jnp.zeros((n_objects, n_inst, 3)).at[safe].set(det.T, mode="drop"),
@@ -179,4 +186,120 @@ def detect_frame_from_matches(
         accepted=jnp.zeros((n_objects, n_inst), bool).at[safe].set(
             acc, mode="drop"),
     )
-    return clustered, full
+
+
+# ---------------------------------------------------------------------------
+# Segmented (per-object matching) pipeline — the serving path.
+#
+# Measured rationale (tools/diag_segmented.py, diag_activation*.py): on
+# weakly-distinctive textures, descriptor distance carries almost no
+# object-presence information (absent objects collect as many within-radius
+# matches as present ones), so the global-kNN + match-count activation of the
+# reference contract loses most true matches and activates near-randomly.
+# The serving path instead matches per object (every object gets its own
+# best row per keypoint) and activates by TIER-1 GEOMETRY: a lean RANSAC
+# presence score per object, with the full multi-instance certified RANSAC
+# (tier 2) running only on the activated set.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ActivationConfig:
+    """Tier-1 presence scoring knobs."""
+
+    m_cap: int = 256          # matches per object entering tier-1
+    n_hypotheses: int = 256   # lean RANSAC budget per object
+    object_batch: int = 20    # objects vmapped per lax.map step
+    min_score: int = 4        # below this an object is never activated
+
+
+def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
+                        query_pts: jax.Array, query_xy: jax.Array,
+                        points: jax.Array, obj_start: jax.Array,
+                        sel: jax.Array, m_cap: int,
+                        radius: float) -> ObjectMatches:
+    """Per-object fixed-capacity stores from per-(query, object) matches.
+
+    ``dist``/``rows``: (Q, O) per-object nearest distance / row-in-object;
+    ``sel``: (A,) object indices (-1 = empty slot). Keeps the ``m_cap``
+    closest within ``radius`` per object (one match per keypoint by
+    construction, so rank-priority is unnecessary)."""
+    q_n = dist.shape[0]
+    cap = min(m_cap, q_n)
+    pad = m_cap - cap
+
+    def one(o):
+        o_safe = jnp.maximum(o, 0)
+        d = dist[:, o_safe]
+        ok = (d <= radius) & q_valid & (o >= 0)
+        top, kp = jax.lax.top_k(jnp.where(ok, -d, -jnp.inf), cap)
+        got = jnp.isfinite(top)
+        g_row = obj_start[o_safe] + rows[kp, o_safe]
+        out = ObjectMatches(
+            query_pts=jnp.where(got[:, None], query_pts[kp], 0.0),
+            train_pts=jnp.where(got[:, None], points[g_row], 0.0),
+            query_idx=jnp.where(got, kp, -1),
+            query_xy=jnp.where(got[:, None], query_xy[kp], 0.0),
+            valid=got)
+        if pad:
+            out = ObjectMatches(
+                query_pts=jnp.concatenate(
+                    [out.query_pts, jnp.zeros((pad, 3))]),
+                train_pts=jnp.concatenate(
+                    [out.train_pts, jnp.zeros((pad, 3))]),
+                query_idx=jnp.concatenate(
+                    [out.query_idx, jnp.full(pad, -1, jnp.int32)]),
+                query_xy=jnp.concatenate(
+                    [out.query_xy, jnp.zeros((pad, 2))]),
+                valid=jnp.concatenate([out.valid, jnp.zeros(pad, bool)]))
+        return out
+
+    return jax.vmap(one)(jnp.asarray(sel, jnp.int32))
+
+
+def detect_frame_segmented(
+        key: jax.Array, dist: jax.Array, rows: jax.Array,
+        q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
+        points: jax.Array, obj_start: jax.Array, spans: jax.Array,
+        cfg: GuessConfig, act: ActivationConfig,
+        radius: float) -> Tuple[jax.Array, ObjectDetections]:
+    """Tier-1 presence scoring on ALL objects + tier-2 certified multi-
+    instance RANSAC on the activated set. Returns ``(scores (O,),
+    ObjectDetections (O, I, ...))``."""
+    n_objects = spans.shape[0]
+    key_act, key_det = jax.random.split(key)
+
+    # ---- tier 1: lean presence scores for every object ---------------------
+    all_ids = jnp.arange(n_objects, dtype=jnp.int32)
+    keys1 = jax.random.split(key_act, n_objects)
+
+    def tier1(args):
+        key_o, o = args
+        m = build_object_stores(dist, rows, q_valid, query_pts, query_xy,
+                                points, obj_start, o[None], act.m_cap,
+                                radius)
+        m = jax.tree.map(lambda x: x[0], m)
+        graphs = fill_adjacency(m, spans[o], cfg.sensor_error)
+        return presence_score(key_o, m, graphs, act.n_hypotheses,
+                              cfg.sensor_error)
+
+    scores = jax.lax.map(tier1, (keys1, all_ids),
+                         batch_size=min(act.object_batch,
+                                        max(n_objects, 1)))
+
+    # ---- tier 2: full certified RANSAC on the activated set ----------------
+    n_active = min(cfg.max_active_objects, n_objects)
+    top_scores, active = jax.lax.top_k(scores, n_active)
+    active = jnp.where(top_scores >= act.min_score, active, -1)
+
+    stores = build_object_stores(dist, rows, q_valid, query_pts, query_xy,
+                                 points, obj_start, active,
+                                 cfg.max_matches_per_object, radius)
+    act_spans = spans[jnp.maximum(active, 0)]
+    det = detect_objects(key_det, stores, act_spans, cfg)
+    det = ObjectDetections(
+        R=det.R, T=det.T, n_inliers=det.n_inliers,
+        accepted=det.accepted & (active >= 0)[:, None])
+    # active is a permutation/subset of object ids (with -1 holes);
+    # scatter handles both the subset and the full-permutation case
+    return scores, scatter_detections(det, active, n_objects)

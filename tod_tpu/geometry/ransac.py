@@ -33,7 +33,7 @@ Deliberate deviations (documented):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,13 @@ class RansacConfig:
     n_clique_checked: int = 64        # hypotheses that get the clique pass
     max_refine_iters: int = 8
     use_residual_test: bool = True
+    # Sample triples proportionally to each vertex's 3-path count in the
+    # sample-consistency graph (w = A^3 1): correct matches are mutually
+    # consistent and dominate the dense core, so weighting concentrates
+    # hypotheses there (measured 1.5-4x pure-triple rate on real scenes,
+    # tools/diag_hypotheses.py H3). Same acceptance contract; the reference
+    # samples uniformly (sac_model_registration_graph.h:141-168).
+    weighted_sampling: bool = True
 
 
 class RansacRound(NamedTuple):
@@ -76,17 +83,43 @@ def _masked_gumbel_argmax(key, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.argmax(score, axis=-1).astype(jnp.int32), mask.any(-1)
 
 
-def sample_triples(key, sample_adj: jax.Array, valid: jax.Array, n: int):
+def _masked_weighted_argmax(key, mask: jax.Array,
+                            logw: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Categorical draw proportional to exp(logw) over each row's true
+    entries (Gumbel-max with log-weights)."""
+    g = jax.random.gumbel(key, mask.shape, dtype=jnp.float32)
+    score = jnp.where(mask, g + logw, NEG_INF)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32), mask.any(-1)
+
+
+def consistency_log_weights(sample_adj: jax.Array,
+                            valid: jax.Array) -> jax.Array:
+    """log(1 + [A^3 1]_v): 3-path counts in the valid sample graph — a cheap
+    power-iteration proxy for membership in the dense mutually-consistent
+    core (three (M,M)x(M,1) MXU matvecs)."""
+    a = (sample_adj & valid[:, None] & valid[None, :]).astype(jnp.float32)
+    v = valid.astype(jnp.float32)[:, None]
+    w = jnp.dot(a, jnp.dot(a, jnp.dot(a, v,
+                                      preferred_element_type=jnp.float32),
+                           preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32)
+    return jnp.log1p(w[:, 0])
+
+
+def sample_triples(key, sample_adj: jax.Array, valid: jax.Array, n: int,
+                   logw: Optional[jax.Array] = None):
     """Draw n sample-adjacency 3-cliques (drawIndexSampleHelper semantics:
-    v1 uniform over valid, v2 over N(v1), v3 over N(v1) ∩ N(v2))."""
+    v1 over valid, v2 over N(v1), v3 over N(v1) ∩ N(v2)); uniform draws, or
+    ∝ exp(logw) when given (see :func:`consistency_log_weights`)."""
     k1, k2, k3 = jax.random.split(key, 3)
     m = valid.shape[0]
+    lw = jnp.zeros((1, m), jnp.float32) if logw is None else logw[None, :]
     m1 = jnp.broadcast_to(valid, (n, m))
-    v1, ok1 = _masked_gumbel_argmax(k1, m1)
+    v1, ok1 = _masked_weighted_argmax(k1, m1, lw)
     m2 = sample_adj[v1] & valid[None, :]
-    v2, ok2 = _masked_gumbel_argmax(k2, m2)
+    v2, ok2 = _masked_weighted_argmax(k2, m2, lw)
     m3 = m2 & sample_adj[v2]
-    v3, ok3 = _masked_gumbel_argmax(k3, m3)
+    v3, ok3 = _masked_weighted_argmax(k3, m3, lw)
     return (v1, v2, v3), ok1 & ok2 & ok3
 
 
@@ -111,6 +144,54 @@ def _greedy_clique_size(adj: jax.Array, cand: jax.Array, need: int) -> jax.Array
     return size
 
 
+def propose_and_count(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
+                      valid: jax.Array, b: int, sigma: float,
+                      use_residual_test: bool = True,
+                      weighted: bool = True):
+    """Draw ``b`` graph-constrained triples, fit Horn poses, and count each
+    hypothesis's inliers (common physical neighbors of the samples passing
+    the residual test — sac_model_registration_graph.h:171-200 semantics).
+    Returns ``(fit, inlier (B,M) bool, n_in (B,) int32)``. Shared by the full
+    RANSAC round and the tier-1 presence scorer."""
+    m_cap = valid.shape[0]
+    q, t = matches.query_pts, matches.train_pts
+    logw = (consistency_log_weights(graphs.sample, valid)
+            if weighted else None)
+    (v1, v2, v3), samp_ok = sample_triples(key, graphs.sample, valid, b,
+                                           logw)
+
+    idx3 = jnp.stack([v1, v2, v3], axis=1)                     # (B,3)
+    q3 = q[idx3]                                               # (B,3,3)
+    t3 = t[idx3]
+    fit = kabsch(q3, t3, jnp.ones((b, 3), jnp.float32))
+
+    onehot = (jax.nn.one_hot(v1, m_cap, dtype=bool)
+              | jax.nn.one_hot(v2, m_cap, dtype=bool)
+              | jax.nn.one_hot(v3, m_cap, dtype=bool))
+    possible = (graphs.physical[v1] & graphs.physical[v2] & graphs.physical[v3]
+                & valid[None, :]) | (onehot & valid[None, :])
+    if use_residual_test:
+        transformed = (jnp.einsum("bij,nj->bni", fit.R, q)
+                       + fit.T[:, None, :])                    # (B,M,3)
+        res = ((transformed - t[None]) ** 2).sum(-1)           # (B,M)
+        possible = possible & (res < sigma * sigma)
+    inlier = possible & (samp_ok & fit.ok)[:, None]
+    n_in = inlier.sum(-1).astype(jnp.int32)                    # (B,)
+    return fit, inlier, n_in
+
+
+def presence_score(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
+                   n_hypotheses: int, sensor_error: float) -> jax.Array:
+    """Tier-1 activation score: the best hypothesis inlier count over a small
+    budget — a lean RANSAC (no clique certificate, no refinement, single
+    round). Measures geometric pose support, the only reliable presence
+    signal when descriptor distances are uninformative (diag_segmented.py:
+    within-radius match counts do not separate present from absent)."""
+    _, _, n_in = propose_and_count(key, matches, graphs, graphs.valid,
+                                   n_hypotheses, sensor_error)
+    return n_in.max()
+
+
 def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
                  valid: jax.Array, cfg: RansacConfig) -> RansacRound:
     """One full RANSAC + refinement on the current valid-match mask.
@@ -123,25 +204,10 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
     sigma = cfg.sensor_error
     b = cfg.n_hypotheses
 
-    (v1, v2, v3), samp_ok = sample_triples(key, graphs.sample, valid, b)
-
-    idx3 = jnp.stack([v1, v2, v3], axis=1)                     # (B,3)
-    q3 = q[idx3]                                               # (B,3,3)
-    t3 = t[idx3]
-    fit = kabsch(q3, t3, jnp.ones((b, 3), jnp.float32))
-
-    onehot = (jax.nn.one_hot(v1, m_cap, dtype=bool)
-              | jax.nn.one_hot(v2, m_cap, dtype=bool)
-              | jax.nn.one_hot(v3, m_cap, dtype=bool))
-    possible = (graphs.physical[v1] & graphs.physical[v2] & graphs.physical[v3]
-                & valid[None, :]) | (onehot & valid[None, :])
-    if cfg.use_residual_test:
-        transformed = (jnp.einsum("bij,nj->bni", fit.R, q)
-                       + fit.T[:, None, :])                    # (B,M,3)
-        res = ((transformed - t[None]) ** 2).sum(-1)           # (B,M)
-        possible = possible & (res < sigma * sigma)
-    inlier = possible & (samp_ok & fit.ok)[:, None]
-    n_in = inlier.sum(-1).astype(jnp.int32)                    # (B,)
+    fit, inlier, n_in = propose_and_count(
+        key, matches, graphs, valid, b, sigma,
+        use_residual_test=cfg.use_residual_test,
+        weighted=cfg.weighted_sampling)
 
     # --- clique certification on the top hypotheses --------------------------
     minimal = cfg.clique_minimal_size

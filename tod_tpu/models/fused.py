@@ -21,17 +21,32 @@ import numpy as np
 
 from tod_tpu.cells.types import PoseResult
 from tod_tpu.db.models import TodModel
-from tod_tpu.geometry.detection import GuessConfig, detect_frame_from_matches
+from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
+                                        detect_frame_from_matches,
+                                        detect_frame_segmented)
 from tod_tpu.geometry.ransac import ObjectDetections, RansacConfig
 from tod_tpu.ops.depth import depth_to_3d_sparse, to_metric_depth
 from tod_tpu.ops.image import rgb_to_gray
 from tod_tpu.ops.matching import hamming_topk, pad_db
 from tod_tpu.ops.orb import Keypoints, orb_detect_and_compute
+from tod_tpu.ops.pallas.segmented import (SegmentedDb, object_top1,
+                                          pack_segmented)
 
 
 @dataclasses.dataclass(frozen=True)
 class FusedDetectorConfig:
-    """Operating point. Defaults follow conf/detection.ork:26-42."""
+    """Operating point. Defaults follow conf/detection.ork:26-42.
+
+    ``pipeline`` selects the serving architecture:
+      * ``"global"`` — the reference's matching contract: one global
+        kNN(k)+radius search over all models, match-count activation
+        (DescriptorMatcher.cpp:211-220 semantics on exact distances);
+      * ``"segmented"`` — the TPU-native serving path: per-(query, object)
+        nearest-row matching (ops/pallas/segmented.py), tier-1 geometric
+        presence activation, tier-2 certified RANSAC (measured to keep 3-5x
+        more correct matches per present object on weakly-distinctive
+        textures, tools/diag_hypotheses.py).
+    """
 
     n_features: int = 5000
     n_levels: int = 3
@@ -44,6 +59,10 @@ class FusedDetectorConfig:
     guess: GuessConfig = GuessConfig(
         ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
                             sensor_error=0.01))
+    pipeline: str = "global"    # "global" | "segmented"
+    q_cap: int = 2048           # segmented: matched-keypoint budget (queries
+                                # prioritized by valid 3D + response)
+    activation: ActivationConfig = ActivationConfig()
 
     def use_pallas(self) -> bool:
         if self.matcher == "auto":
@@ -216,6 +235,62 @@ def geom_db(db: ModelDb) -> GeomDb:
     return GeomDb(points=db.points, obj_of_row=db.obj_of_row, spans=db.spans)
 
 
+# ---------------------------------------------------------------------------
+# Segmented serving path (pipeline="segmented"): per-object matching +
+# two-tier geometry. See FusedDetectorConfig docstring and
+# geometry/detection.py detect_frame_segmented.
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _stage_features_compact(gray, depth, K, cfg: FusedDetectorConfig):
+    """Features + 3D + query compaction: keep the ``q_cap`` highest-response
+    keypoints that have valid 3D (matching cost scales with queries, and
+    matches without 3D are discarded by the geometry anyway —
+    ClusterPerObject's NaN skip, adjacency_ransac.cpp:187-190)."""
+    kps, desc = orb_detect_and_compute(
+        gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
+        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
+    depth_m = to_metric_depth(depth)
+    query_pts = depth_to_3d_sparse(depth_m, K, kps.xy)
+    finite = jnp.isfinite(query_pts).all(-1) & kps.valid
+
+    k = min(cfg.q_cap, cfg.n_features)
+    score = jnp.where(finite, kps.response, -jnp.inf)
+    _, sel = jax.lax.top_k(score, k)
+    ok = finite[sel]
+    pad = _round_up(k, 512) - k
+
+    def padded(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
+
+    xy = padded(kps.xy[sel])
+    qp = padded(jnp.where(ok[:, None], query_pts[sel], jnp.nan), jnp.nan)
+    dsc = padded(jnp.where(ok[:, None], desc[sel], jnp.uint8(0)))
+    okp = padded(ok)
+    return xy, qp, dsc, okp
+
+
+def _stage_geometry_segmented(key, xy, qp, ok, dist_qo, rows_qo,
+                              points, obj_start, spans,
+                              cfg: FusedDetectorConfig):
+    return detect_frame_segmented(
+        key, dist_qo, rows_qo, ok, qp, xy, points, obj_start, spans,
+        cfg.guess, cfg.activation, cfg.radius)[1]
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_segmented_stages(cfg: FusedDetectorConfig):
+    s1 = jax.jit(functools.partial(_stage_features_compact, cfg=cfg))
+    s2 = jax.jit(object_top1)
+    s3 = jax.jit(functools.partial(_stage_geometry_segmented, cfg=cfg))
+    return s1, s2, s3
+
+
 @functools.lru_cache(maxsize=4)
 def _jitted_stages(cfg: FusedDetectorConfig):
     s1 = jax.jit(functools.partial(_stage_features, cfg=cfg))
@@ -231,9 +306,16 @@ class FusedDetector:
                  config: Optional[FusedDetectorConfig] = None,
                  seed: int = 0):
         self.config = config or FusedDetectorConfig()
-        self.db, self.object_ids = pack_models(models, self.config.db_chunk)
+        self.segmented = self.config.pipeline == "segmented"
+        if self.segmented:
+            self.sdb = pack_segmented(models)
+            self.object_ids = [m.object_id for m in models]
+            self._stages = _jitted_segmented_stages(self.config)
+        else:
+            self.db, self.object_ids = pack_models(models,
+                                                   self.config.db_chunk)
+            self._stages = _jitted_stages(self.config)
         self._key = jax.random.PRNGKey(seed)
-        self._stages = _jitted_stages(self.config)
 
     def prepare_frame(self, image: np.ndarray, depth: np.ndarray,
                       K: np.ndarray):
@@ -252,6 +334,14 @@ class FusedDetector:
             gray, depth_j, K_j = self.prepare_frame(image, depth, K)
         self._key, sub = jax.random.split(self._key)
         s1, s2, s3 = self._stages
+        if self.segmented:
+            xy, qp, dsc, ok = s1(gray, depth_j, K_j)
+            if not self.object_ids:
+                return None, _empty_detections(0, self.config)
+            dist, rows = s2(dsc, self.sdb)
+            det = s3(sub, xy, qp, ok, dist, rows, self.sdb.points,
+                     self.sdb.obj_start, self.sdb.spans)
+            return None, det
         kps, desc, query_pts = s1(gray, depth_j, K_j)
         if not self.object_ids:  # empty DB: nothing to match against
             return kps, _empty_detections(0, self.config)
@@ -263,6 +353,20 @@ class FusedDetector:
     @functools.lru_cache(maxsize=2)
     def _batched_stages(self):
         cfg = self.config
+        if self.segmented:
+            s1 = jax.jit(jax.vmap(
+                functools.partial(_stage_features_compact, cfg=cfg)))
+            # the Pallas kernel is not vmappable; fold the batch into the
+            # query axis (results are per-query independent)
+            def match_b(dsc_b, sdb):
+                b, qn, _ = dsc_b.shape
+                d, r = object_top1(dsc_b.reshape(b * qn, 32), sdb)
+                return (d.reshape(b, qn, -1), r.reshape(b, qn, -1))
+            s2 = jax.jit(match_b)
+            s3 = jax.jit(jax.vmap(
+                functools.partial(_stage_geometry_segmented, cfg=cfg),
+                in_axes=(0, 0, 0, 0, 0, 0, None, None, None)))
+            return s1, s2, s3
         s1 = jax.jit(jax.vmap(functools.partial(_stage_features, cfg=cfg)))
         s2 = jax.jit(jax.vmap(functools.partial(match_against_db, cfg=cfg),
                               in_axes=(0, None)))
@@ -277,6 +381,16 @@ class FusedDetector:
         b = grays.shape[0]
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, b)
+        if self.segmented:
+            xy, qp, dsc, ok = s1(grays, depths, Ks)
+            if not self.object_ids:
+                return None, jax.tree.map(
+                    lambda x: jnp.broadcast_to(x[None], (b,) + x.shape),
+                    _empty_detections(0, self.config))
+            dist, rows = s2(dsc, self.sdb)
+            det = s3(keys, xy, qp, ok, dist, rows, self.sdb.points,
+                     self.sdb.obj_start, self.sdb.spans)
+            return None, det
         kps, desc, query_pts = s1(grays, depths, Ks)
         if not self.object_ids:  # empty DB: nothing to match against
             return kps, jax.tree.map(

@@ -205,7 +205,7 @@ def main():
             m_cap=256, n_hypotheses=256, object_batch=20),
         guess=GuessConfig(
             ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
-                                max_instances=3),
+                                max_instances=3, tight_final_fit=True),
             max_matches_per_object=512, object_batch=8,
             max_active_objects=16))
     det = FusedDetector(all_models, cfg)

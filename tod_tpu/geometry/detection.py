@@ -213,6 +213,11 @@ class ActivationConfig:
     min_score: int = 4        # below this an object is never activated
 
 
+MARGIN_ALPHA = 0.75     # cap priority = dist - alpha * cross-object level
+                        # (alpha sweep in tools/diag_margin2.py: +47% correct
+                        # matches inside a 256 cap at 0.75)
+
+
 def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
                         query_pts: jax.Array, query_xy: jax.Array,
                         points: jax.Array, obj_start: jax.Array,
@@ -221,18 +226,24 @@ def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
     """Per-object fixed-capacity stores from per-(query, object) matches.
 
     ``dist``/``rows``: (Q, O) per-object nearest distance / row-in-object;
-    ``sel``: (A,) object indices (-1 = empty slot). Keeps the ``m_cap``
-    closest within ``radius`` per object (one match per keypoint by
-    construction, so rank-priority is unnecessary)."""
+    ``sel``: (A,) object indices (-1 = empty slot). Keeps the ``m_cap`` best
+    within ``radius`` per object, prioritized by cross-object MARGIN rather
+    than raw distance: a correct match is distinctive for ITS object, so
+    dist[q,o] sits well below q's distance level across other objects, while
+    junk sits at the level — raw distance cannot tell them apart (measured:
+    junk median 29 vs correct 25, tools/diag_correct.py). One match per
+    keypoint by construction, so rank-priority is unnecessary."""
     q_n = dist.shape[0]
     cap = min(m_cap, q_n)
     pad = m_cap - cap
+    level = jnp.median(dist, axis=1)                           # (Q,)
 
     def one(o):
         o_safe = jnp.maximum(o, 0)
         d = dist[:, o_safe]
+        pri = d - MARGIN_ALPHA * level
         ok = (d <= radius) & q_valid & (o >= 0)
-        top, kp = jax.lax.top_k(jnp.where(ok, -d, -jnp.inf), cap)
+        top, kp = jax.lax.top_k(jnp.where(ok, -pri, -jnp.inf), cap)
         got = jnp.isfinite(top)
         g_row = obj_start[o_safe] + rows[kp, o_safe]
         out = ObjectMatches(

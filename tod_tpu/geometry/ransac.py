@@ -66,6 +66,12 @@ class RansacConfig:
     # tools/diag_hypotheses.py H3). Same acceptance contract; the reference
     # samples uniformly (sac_model_registration_graph.h:141-168).
     weighted_sampling: bool = True
+    # Refit the FINAL pose on the strict sigma^2 inlier set. The reference's
+    # last refinement absorbs matches up to (2*sigma)^2 residual and fits the
+    # pose on them (adjacency_ransac.cpp:296-303), which drags near-threshold
+    # junk into the estimate; acceptance counting is unchanged (still the
+    # grown set) — only the reported pose sharpens.
+    tight_final_fit: bool = False
 
 
 class RansacRound(NamedTuple):
@@ -254,6 +260,13 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
             jnp.asarray(False), jnp.asarray(False), jnp.int32(0))
     r_f, t_f, inl_f, _, _, _, _ = jax.lax.while_loop(
         refine_cond, refine_body, init)
+
+    if cfg.tight_final_fit:
+        res_t = ((apply_rt(r_f, t_f, q) - t) ** 2).sum(-1)
+        inl_t = valid & (res_t < sigma * sigma)
+        fit_t = kabsch(q, t, inl_t.astype(jnp.float32))
+        r_f = jnp.where(fit_t.ok, fit_t.R, r_f)
+        t_f = jnp.where(fit_t.ok, fit_t.T, t_f)
 
     n_unique = count_unique_query_indices(matches.query_idx, inl_f & found)
     r_out, t_out = invert_pose(r_f, t_f)

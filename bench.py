@@ -202,12 +202,18 @@ def main():
         radius=float(os.environ.get("BENCH_RADIUS", "50")),
         k_matches=int(os.environ.get("BENCH_K", "8")),
         activation=ActivationConfig(
-            m_cap=256, n_hypotheses=256, object_batch=20),
+            m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
+            n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
+            object_batch=20),
         guess=GuessConfig(
-            ransac=RansacConfig(n_hypotheses=1024, min_inliers=8,
-                                max_instances=3, tight_final_fit=True),
-            max_matches_per_object=512, object_batch=8,
-            max_active_objects=16))
+            ransac=RansacConfig(
+                n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),
+                min_inliers=8, max_instances=3, tight_final_fit=True),
+            # M=384 beats 512 on BOTH axes with margin-ordered caps (junk
+            # tail drops faster than correct): recall .917 @ 34 FPS
+            max_matches_per_object=int(os.environ.get("BENCH_M", "384")),
+            object_batch=8,
+            max_active_objects=int(os.environ.get("BENCH_ACTIVE", "16"))))
     det = FusedDetector(all_models, cfg)
 
     # pre-render scenes of 3 objects each, cycling through the whole DB so

@@ -278,3 +278,36 @@ def test_pipelined_detector_matches_single_device(devices8, rng):
                                    atol=1e-6)
     # stage outputs really live on the intended devices
     assert list(dets[0].R.devices())[0] == jax.devices()[2]
+
+
+def test_sharded_object_top1_exact(devices8, rng):
+    """Object-sharded segmented matching == single-device kernel on the
+    same (shard-major) object order."""
+    from tod_tpu.ops.pallas.segmented import object_top1, pack_segmented
+    from tod_tpu.parallel import make_mesh, pack_segmented_sharded, \
+        sharded_object_top1
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    models = [TodModel(f"o{i}",
+                       rng.integers(0, 256, (100 + 37 * i, 32), np.uint8),
+                       rng.uniform(-0.1, 0.1, (100 + 37 * i, 3))
+                       .astype(np.float32))
+              for i in range(7)]  # 7 objects over 4 shards -> one pad object
+    q = rng.integers(0, 256, (128, 32), dtype=np.uint8)
+
+    stacked, ids = pack_segmented_sharded(models, n_shards=4, db_chunk=2048)
+    d_s, r_s = jax.jit(lambda qq, db: sharded_object_top1(mesh, qq, db))(
+        jnp.asarray(q), stacked)
+
+    # reference: single-device kernel over the SAME shard-major order
+    by_id = {m.object_id: m for m in models}
+    ordered = [by_id.get(i, TodModel("__pad__",
+                                     np.zeros((0, 32), np.uint8),
+                                     np.zeros((0, 3), np.float32)))
+               for i in ids]
+    db1 = pack_segmented(ordered, db_chunk=2048)
+    d_1, r_1 = object_top1(jnp.asarray(q), db1, db_chunk=2048)
+
+    assert len(ids) == 8 and ids.count("__pad__") == 1
+    np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_1))

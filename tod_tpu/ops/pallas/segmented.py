@@ -31,7 +31,7 @@ beat a real row (<= 256).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,14 +145,22 @@ def _object_top1_kernel(chunk_obj_ref, chunk_base_ref, q_ref, dbt_ref,
         out_i_ref[:] = b & ROW_MASK
 
 
+def db_chunk_of(db: SegmentedDb) -> int:
+    """The chunk size a SegmentedDb was packed with (static)."""
+    return db.bits_t.shape[1] // max(db.chunk_obj.shape[0], 1)
+
+
 def object_top1_fused(query_u8: jax.Array, db: SegmentedDb,
                       q_tile: int = Q_TILE,
-                      db_chunk: int = DB_CHUNK) -> Tuple[jax.Array, jax.Array]:
+                      db_chunk: Optional[int] = None
+                      ) -> Tuple[jax.Array, jax.Array]:
     """Per-(query, object) nearest row. Returns ``(dist (Q, O) f32,
     row (Q, O) i32 row-within-object)``. Q must divide ``q_tile``; objects
     with zero real rows report dist 511 (never within any sane radius)."""
     q = query_u8.shape[0]
     n = db.bits_t.shape[1]
+    if db_chunk is None:
+        db_chunk = db_chunk_of(db)
     if q % q_tile:
         q_tile = next((t for t in (512, 256, 128) if q % t == 0), None)
         if q_tile is None:
@@ -198,9 +206,17 @@ def object_top1_fused(query_u8: jax.Array, db: SegmentedDb,
 
 
 def object_top1_xla(query_u8: jax.Array, db: SegmentedDb,
-                    db_chunk: int = DB_CHUNK) -> Tuple[jax.Array, jax.Array]:
+                    db_chunk: Optional[int] = None,
+                    vary: Tuple[str, ...] = ()
+                    ) -> Tuple[jax.Array, jax.Array]:
     """XLA reference implementation of :func:`object_top1_fused` (exact same
-    results; used on CPU and in parity tests)."""
+    results; used on CPU and in parity tests).
+
+    ``vary``: mesh axis names this call varies over inside ``shard_map`` —
+    the scan's constant carry init must be marked varying (jax.lax.pvary)
+    or the varying-across-mesh type check rejects it."""
+    if db_chunk is None:
+        db_chunk = db_chunk_of(db)
     q_bits = unpack_bits(query_u8, jnp.bfloat16)
     q_pop = popcount_rows(query_u8)[:, None]
     n = db.bits_t.shape[1]
@@ -212,6 +228,8 @@ def object_top1_xla(query_u8: jax.Array, db: SegmentedDb,
     pop_chunks = db.pop.reshape(n_chunks, db_chunk)
 
     init = jnp.full((qn, n_objects), KEY_INVALID, jnp.int32)
+    if vary:
+        init = jax.lax.pvary(init, vary)
 
     def body(best, inp):
         bits_c, pop_c, obj_c, base_c = inp
@@ -234,8 +252,9 @@ def object_top1_xla(query_u8: jax.Array, db: SegmentedDb,
 
 def object_top1(query_u8: jax.Array, db: SegmentedDb,
                 q_tile: int = Q_TILE,
-                db_chunk: int = DB_CHUNK) -> Tuple[jax.Array, jax.Array]:
+                db_chunk: Optional[int] = None,
+                vary: Tuple[str, ...] = ()) -> Tuple[jax.Array, jax.Array]:
     """Backend dispatch: fused Mosaic kernel on TPU, XLA scan on CPU."""
     if jax.default_backend() == "cpu":
-        return object_top1_xla(query_u8, db, db_chunk)
+        return object_top1_xla(query_u8, db, db_chunk, vary)
     return object_top1_fused(query_u8, db, q_tile, db_chunk)

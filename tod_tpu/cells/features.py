@@ -109,7 +109,12 @@ class RescaledRegisteredDepth(Cell):
 
     def process(self) -> None:
         image = np.asarray(self.inputs["image"])
-        depth = np.asarray(self.inputs["depth_in"])
+        raw = self.inputs["depth_in"]
+        depth = (np.zeros((0, 0), np.float32) if raw is None
+                 else np.asarray(raw))
+        if depth.size == 0:  # depthless frame: propagate empty (2D-only path)
+            self.outputs["depth"] = np.zeros((0, 0), np.float32)
+            return
         out = rescale_depth(jnp.asarray(depth), image.shape[:2])
         self.outputs["depth"] = np.asarray(jax.device_get(out))
 
@@ -126,6 +131,9 @@ class DepthTo3d(Cell):
 
     def process(self) -> None:
         depth = jnp.asarray(np.asarray(self.inputs["depth"]))
+        if depth.size == 0:  # depthless frame: empty cloud (2D-only path)
+            self.outputs["points3d"] = np.zeros((0, 0, 3), np.float32)
+            return
         if not jnp.issubdtype(depth.dtype, jnp.floating):
             depth = to_metric_depth(depth)
         K = jnp.asarray(np.asarray(self.inputs["K"], np.float32))

@@ -59,6 +59,10 @@ class GuessGenerator(Cell):
     @staticmethod
     def declare_io(p: Tendrils, i: Tendrils, o: Tendrils) -> None:
         i.declare("image", "The original image (visualization only).")
+        i.declare("K", "3x3 camera matrix — enables the 2D-only P3P path "
+                  "when the point cloud is empty (the reference left this "
+                  "unimplemented, GuessGenerator.cpp:147-152).",
+                  default=None)
         i.declare("points3d", "(H,W,3) camera-frame point cloud.")
         i.declare("keypoints", "The query keypoints structure.")
         i.declare("matches", "MatchSet from the DescriptorMatcher.")
@@ -97,12 +101,22 @@ class GuessGenerator(Cell):
         pose_results: List[PoseResult] = []
         rs: List[np.ndarray] = []
         ts: List[np.ndarray] = []
-        if cloud.size == 0 or not object_ids or matches.dist.size == 0:
-            # 2D-only path: not implemented in the reference either
-            # (GuessGenerator.cpp:147-152 is an empty TODO).
+        if not object_ids or matches.dist.size == 0:
             self.outputs["pose_results"] = pose_results
             self.outputs["Rs"] = rs
             self.outputs["Ts"] = ts
+            return
+        if cloud.size == 0:
+            # 2D-only path: empty TODO in the reference
+            # (GuessGenerator.cpp:147-152); implemented here via vmapped P3P
+            # + reprojection consensus when the camera matrix is wired in.
+            K = self.inputs["K"]
+            if K is None:
+                self.outputs["pose_results"] = pose_results
+                self.outputs["Rs"] = rs
+                self.outputs["Ts"] = ts
+                return
+            self._process_2d(np.asarray(K, np.float32))
             return
 
         kp_xy = np.asarray(kps.xy, np.float32)
@@ -171,3 +185,61 @@ class GuessGenerator(Cell):
             self._viz_counter = getattr(self, "_viz_counter", 0) + 1
             cv2.imwrite(f"{prefix}_clusters_{self._viz_counter:04d}.png",
                         overlay)
+
+    def _process_2d(self, K: np.ndarray) -> None:
+        """2D-only pose search: P3P graph-RANSAC scored by reprojection
+        consensus (geometry/detection2d.py). Capability the reference
+        lacks — its docs state "Pipeline does not work with 2D only input"
+        (doc/source/index.rst:46)."""
+        from tod_tpu.geometry.detection2d import Pnp2dConfig, detect_frame_2d
+
+        kps = self.inputs["keypoints"]
+        matches: MatchSet = self.inputs["matches"]
+        matches_3d = np.asarray(self.inputs["matches_3d"])
+        object_ids: List[str] = list(self.inputs["object_ids"])
+
+        kp_xy = np.asarray(kps.xy, np.float32)
+        kp_valid = np.asarray(kps.valid)
+        valid = matches.valid & kp_valid[:, None]
+
+        rcfg = self._cfg.ransac
+        cfg2d = Pnp2dConfig(
+            n_hypotheses=min(rcfg.n_hypotheses, 512),
+            min_inliers=rcfg.min_inliers,
+            max_instances=rcfg.max_instances)
+        self._key, sub = jax.random.split(self._key)
+        det = _jitted_detect_2d(cfg2d, self._cfg.max_matches_per_object)(
+            sub, jnp.asarray(matches.obj_idx), jnp.asarray(matches.dist),
+            jnp.asarray(valid), jnp.asarray(matches_3d),
+            jnp.asarray(kp_xy), jnp.asarray(K),
+            jnp.arange(len(object_ids), dtype=jnp.int32))
+
+        det_r = np.asarray(jax.device_get(det.R))
+        det_t = np.asarray(jax.device_get(det.T))
+        det_n = np.asarray(jax.device_get(det.n_inliers))
+        det_acc = np.asarray(jax.device_get(det.accepted))
+
+        pose_results: List[PoseResult] = []
+        rs: List[np.ndarray] = []
+        ts: List[np.ndarray] = []
+        for o, object_id in enumerate(object_ids):
+            for inst in range(det_acc.shape[1]):
+                if det_acc[o, inst]:
+                    pose_results.append(PoseResult(
+                        R=det_r[o, inst], T=det_t[o, inst],
+                        object_id=object_id,
+                        confidence=float(det_n[o, inst]),
+                        db_params=self._db_params))
+                    rs.append(det_r[o, inst])
+                    ts.append(det_t[o, inst])
+        self.outputs["pose_results"] = pose_results
+        self.outputs["Rs"] = rs
+        self.outputs["Ts"] = ts
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_detect_2d(cfg, max_matches: int):
+    from tod_tpu.geometry.detection2d import detect_frame_2d
+
+    return jax.jit(functools.partial(detect_frame_2d, cfg=cfg,
+                                     max_matches=max_matches))

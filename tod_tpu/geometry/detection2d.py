@@ -1,0 +1,191 @@
+"""2D-only detection: P3P graph-RANSAC from 2D keypoints + 3D model points.
+
+The reference explicitly does NOT support this — GuessGenerator.cpp:147-152
+is an empty TODO ("if the cloud is empty, we take 2d points ... solvePnP"
+never plugged in; doc/source/index.rst:46 "Pipeline does not work with 2D
+only input"). tod_tpu implements it: when a frame has no depth, poses come
+from vmapped Grunert P3P hypotheses (geometry/pnp.py) scored by reprojection
+consensus, refined by fixed-iteration Gauss-Newton, with the same
+multi-instance keypoint-invalidation loop as the 3D path.
+
+Differences from the 3D path (inherent to missing depth):
+  * no physical/sample consistency graphs (they need 3D query points) — the
+    sampling gate is pixel separation > 20px plus model-point separation;
+  * inliers are reprojection-error consensus (``pixel_error`` px) instead of
+    3D residuals; no clique certificate (it certifies 3D consistency).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tod_tpu.geometry.adjacency import (
+    ObjectMatches,
+    count_unique_query_indices,
+    pairwise_sq_dists,
+)
+from tod_tpu.geometry.pnp import gauss_newton_pose, p3p, project
+from tod_tpu.geometry.ransac import (
+    NEG_INF,
+    ObjectDetections,
+    sample_triples,
+)
+
+PIXEL_SEP_SQ = 20.0 * 20.0     # same sample-separation rule as the 3D path
+MIN_TRAIN_SEP = 0.01           # meters: avoid near-degenerate P3P triples
+
+
+@dataclasses.dataclass(frozen=True)
+class Pnp2dConfig:
+    n_hypotheses: int = 256
+    min_inliers: int = 8
+    pixel_error: float = 4.0   # reprojection inlier threshold (px)
+    max_instances: int = 3
+    refine_iters: int = 5
+
+
+def _bearings(query_xy: jax.Array, K: jax.Array) -> jax.Array:
+    """(M,2) pixels -> (M,3) unit camera-frame rays."""
+    x = (query_xy[:, 0] - K[0, 2]) / K[0, 0]
+    y = (query_xy[:, 1] - K[1, 2]) / K[1, 1]
+    rays = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+
+def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
+                    cfg: Pnp2dConfig):
+    """One P3P-RANSAC round: returns (R, T, inliers (M,), n_unique, found)."""
+    mcap = valid.shape[0]
+    bear = _bearings(m.query_xy, K)
+
+    # sampling graph: pairs far apart in pixels AND on the model
+    dpix2 = pairwise_sq_dists(
+        jnp.concatenate([m.query_xy, jnp.zeros_like(m.query_xy[:, :1])], -1))
+    dtrain2 = pairwise_sq_dists(m.train_pts)
+    adj = ((dpix2 > PIXEL_SEP_SQ) & (dtrain2 > MIN_TRAIN_SEP ** 2)
+           & valid[:, None] & valid[None, :]
+           & ~jnp.eye(mcap, dtype=bool))
+
+    b = cfg.n_hypotheses
+    (v1, v2, v3), samp_ok = sample_triples(key, adj, valid, b, logw=None)
+    idx3 = jnp.stack([v1, v2, v3], axis=1)              # (B,3)
+    sols = jax.vmap(p3p)(bear[idx3], m.train_pts[idx3])  # (B,8,...)
+
+    # reprojection consensus for every candidate pose
+    def count(R, T):
+        uv, front = project(R, T, K, m.train_pts)       # (M,2)
+        err2 = ((uv - m.query_xy) ** 2).sum(-1)
+        inl = valid & front & (err2 < cfg.pixel_error ** 2)
+        return inl
+
+    inl = jax.vmap(jax.vmap(count))(sols.R, sols.T)      # (B,8,M)
+    inl = inl & sols.valid[..., None] & samp_ok[:, None, None]
+    n_in = inl.sum(-1)                                   # (B,8)
+    flat = n_in.reshape(-1)
+
+    # Planar scenes carry the classic two-fold PnP pose ambiguity: the
+    # flipped pose scores similar RAW consensus but refines worse. Refine
+    # the top few hypotheses and pick by POST-refinement consensus.
+    n_ref = 4
+    _, top = jax.lax.top_k(flat, n_ref)
+    r_top = sols.R.reshape(-1, 3, 3)[top]
+    t_top = sols.T.reshape(-1, 3)[top]
+    inl_top = inl.reshape(-1, mcap)[top]
+
+    def refine(r0, t0, inl0):
+        r1, t1 = gauss_newton_pose(r0, t0, K, m.train_pts, m.query_xy,
+                                   inl0.astype(jnp.float32),
+                                   iters=cfg.refine_iters)
+        inl1 = count(r1, t1)
+        r2, t2 = gauss_newton_pose(r1, t1, K, m.train_pts, m.query_xy,
+                                   inl1.astype(jnp.float32),
+                                   iters=cfg.refine_iters)
+        inl2 = count(r2, t2)
+        better = inl2.sum() >= inl0.sum()
+        return (jnp.where(better, r2, r0), jnp.where(better, t2, t0),
+                jnp.where(better, inl2, inl0))
+
+    r_ref, t_ref, inl_ref = jax.vmap(refine)(r_top, t_top, inl_top)
+    n_ref_in = inl_ref.sum(-1)
+    win = jnp.argmax(n_ref_in)
+    found = flat[top[win]] >= 3
+    R, T = r_ref[win], t_ref[win]
+    inliers = inl_ref[win] & found
+    n_unique = count_unique_query_indices(m.query_idx, inliers)
+    return R, T, inliers, jnp.where(found, n_unique, 0), found
+
+
+def detect_object_instances_2d(key, m: ObjectMatches, K: jax.Array,
+                               cfg: Pnp2dConfig) -> ObjectDetections:
+    """Multi-instance loop (GuessGenerator.cpp:192-231 semantics): accept a
+    pose when it has >= min_inliers unique keypoints, invalidate those
+    keypoints' matches, repeat."""
+
+    def step(valid, key_i):
+        R, T, inliers, n_unique, found = ransac_round_2d(key_i, m, K, valid,
+                                                         cfg)
+        accept = found & (n_unique >= cfg.min_inliers)
+        shares = ((m.query_idx[:, None] == m.query_idx[None, :])
+                  & inliers[None, :]).any(axis=1)
+        valid_next = jnp.where(accept, valid & ~shares, valid)
+        return valid_next, (R, T, n_unique, accept)
+
+    keys = jax.random.split(key, cfg.max_instances)
+    _, (rs, ts, counts, accepted) = jax.lax.scan(step, m.valid, keys)
+    return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted)
+
+
+def detect_frame_2d(key, obj_idx: jax.Array, dist: jax.Array,
+                    valid: jax.Array, train_pts: jax.Array,
+                    query_xy: jax.Array, K: jax.Array,
+                    object_ids: jax.Array, max_matches: int,
+                    cfg: Pnp2dConfig) -> ObjectDetections:
+    """Cluster flat (Q,k) matches per object and run the 2D pose search for
+    each. Mirrors detect_frame_from_matches with reprojection consensus."""
+    q, k = obj_idx.shape
+    qk = q * k
+    obj_flat = obj_idx.reshape(qk)
+    dist_flat = dist.reshape(qk)
+    rank_flat = jnp.tile(jnp.arange(k, dtype=jnp.float32), q)
+    valid_flat = valid.reshape(qk)
+    t_flat = train_pts.reshape(qk, 3)
+    kp_of_flat = jnp.repeat(jnp.arange(q, dtype=jnp.int32), k)
+    stride = jnp.where(valid_flat, dist_flat, 0.0).max() + 1.0
+    priority = rank_flat * stride + dist_flat
+    cap = min(max_matches, qk)
+    pad = max_matches - cap
+
+    def one_object(args):
+        key_o, o = args
+        mask = valid_flat & (obj_flat == o) & (o >= 0)
+        score = jnp.where(mask, -priority, NEG_INF)
+        _, sel = jax.lax.top_k(score, cap)
+        ok = mask[sel]
+        kp = kp_of_flat[sel]
+        m = ObjectMatches(
+            query_pts=jnp.zeros((cap, 3)),
+            train_pts=jnp.where(ok[:, None], t_flat[sel], 0.0),
+            query_idx=jnp.where(ok, kp, -1),
+            query_xy=jnp.where(ok[:, None], query_xy[kp], 0.0),
+            valid=ok)
+        if pad:
+            m = ObjectMatches(
+                query_pts=jnp.zeros((max_matches, 3)),
+                train_pts=jnp.concatenate(
+                    [m.train_pts, jnp.zeros((pad, 3))]),
+                query_idx=jnp.concatenate(
+                    [m.query_idx, jnp.full(pad, -1, jnp.int32)]),
+                query_xy=jnp.concatenate(
+                    [m.query_xy, jnp.zeros((pad, 2))]),
+                valid=jnp.concatenate([m.valid, jnp.zeros(pad, bool)]))
+        return detect_object_instances_2d(key_o, m, K, cfg)
+
+    n_objects = object_ids.shape[0]
+    keys = jax.random.split(key, n_objects)
+    return jax.lax.map(one_object,
+                       (keys, jnp.asarray(object_ids, jnp.int32)),
+                       batch_size=min(8, max(n_objects, 1)))

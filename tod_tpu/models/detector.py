@@ -90,7 +90,10 @@ class TodDetector(BlackBox):
 
         graph += [self.passthrough["image"]
                   >> self.feature_descriptor["image"],
-                  self.passthrough["image"] >> self.guess_generator["image"]]
+                  self.passthrough["image"] >> self.guess_generator["image"],
+                  # K enables the 2D-only P3P fallback for depthless frames
+                  # (unimplemented in the reference, GuessGenerator.cpp:147)
+                  self.passthrough["K_image"] >> self.guess_generator["K"]]
 
         graph += [self.descriptor_matcher["spans"]
                   >> self.guess_generator["spans"],

@@ -156,8 +156,8 @@ def test_e2e_depthless_detection():
         (np.trace(best.R @ Rg.T) - 1) / 2, -1, 1)))
     assert dt < 0.02, f"2D pose translation error {dt:.4f} m"
     # monocular pose of a shallow planar target is rotation-ill-conditioned
-    # (classic planar-PnP tilt ambiguity): GT consensus here is only ~36
-    # unique keypoints at 4px, so the tilt component stays loose. The
-    # reference supports no 2D-only detection at all.
-    assert ang < 25.0, f"2D pose rotation error {ang:.2f} deg"
+    # (classic planar-PnP tilt ambiguity); the ratio-gated consistency graph
+    # finds the full ~37-keypoint consensus, leaving ~8deg of tilt slack.
+    # The reference supports no 2D-only detection at all.
+    assert ang < 15.0, f"2D pose rotation error {ang:.2f} deg"
     InMemoryDb.reset_shared()

@@ -62,16 +62,41 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
     mcap = valid.shape[0]
     bear = _bearings(m.query_xy, K)
 
-    # sampling graph: pairs far apart in pixels AND on the model
+    # sampling graph: pairs far apart in pixels AND on the model, AND
+    # scale-ratio consistent — the 2D analog of FillAdjacency's metric
+    # consistency: for correct matches, pixel distance ~= (f/z) * model
+    # distance with one global scale, so log(dpix/dmodel) clusters tightly;
+    # junk pairs scatter. Gate to the (masked-median) cluster +-log(1.35)
+    # (perspective tilt perturbs local scale ~15-25%).
     dpix2 = pairwise_sq_dists(
         jnp.concatenate([m.query_xy, jnp.zeros_like(m.query_xy[:, :1])], -1))
     dtrain2 = pairwise_sq_dists(m.train_pts)
-    adj = ((dpix2 > PIXEL_SEP_SQ) & (dtrain2 > MIN_TRAIN_SEP ** 2)
-           & valid[:, None] & valid[None, :]
-           & ~jnp.eye(mcap, dtype=bool))
+    base = ((dpix2 > PIXEL_SEP_SQ) & (dtrain2 > MIN_TRAIN_SEP ** 2)
+            & valid[:, None] & valid[None, :]
+            & ~jnp.eye(mcap, dtype=bool))
+    log_r = 0.5 * (jnp.log(jnp.maximum(dpix2, 1e-12))
+                   - jnp.log(jnp.maximum(dtrain2, 1e-12)))
+    # global scale estimate = histogram MODE of log(dpix/dmodel) over valid
+    # pairs (median is fragile when junk pairs outnumber correct ones):
+    # correct pairs pile into one ~f/z bin, junk spreads. Fixed bin range
+    # covers f/z from ~50 to ~5000 px/m (f 300-1200px, z 0.25-5m).
+    n_bins = 64
+    lo, hi = jnp.log(50.0), jnp.log(5000.0)
+    bins = jnp.clip(((log_r - lo) / (hi - lo) * n_bins).astype(jnp.int32),
+                    0, n_bins - 1)
+    counts = jnp.zeros(n_bins, jnp.int32).at[
+        jnp.where(base, bins, 0)].add(base.astype(jnp.int32))
+    peak = jnp.argmax(counts)
+    center = lo + (peak.astype(jnp.float32) + 0.5) / n_bins * (hi - lo)
+    adj = base & (jnp.abs(log_r - center) < jnp.log(1.4))
 
+    # weight triple draws by 3-path counts in the consistency graph (same
+    # dense-core concentration as the 3D path's consistency_log_weights)
+    from tod_tpu.geometry.ransac import consistency_log_weights
+
+    logw = consistency_log_weights(adj, valid)
     b = cfg.n_hypotheses
-    (v1, v2, v3), samp_ok = sample_triples(key, adj, valid, b, logw=None)
+    (v1, v2, v3), samp_ok = sample_triples(key, adj, valid, b, logw=logw)
     idx3 = jnp.stack([v1, v2, v3], axis=1)              # (B,3)
     sols = jax.vmap(p3p)(bear[idx3], m.train_pts[idx3])  # (B,8,...)
 

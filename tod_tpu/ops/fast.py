@@ -112,6 +112,29 @@ def select_topk_keypoints(
     return xy, resp, valid
 
 
+def subpixel_offsets(score: jax.Array, xy: jax.Array) -> jax.Array:
+    """Sub-pixel corner localization: per-axis 3-point parabola vertex on the
+    score map at integer keypoint coords. Returns (K, 2) float32 offsets in
+    [-0.5, 0.5]. cv::ORB reports integer FAST corners; quantization costs
+    ~0.7mm per side at z=0.9m once back-projected, so refining here tightens
+    both trained model points and detection poses (capability beyond the
+    reference)."""
+    h, w = score.shape
+    x = jnp.clip(xy[:, 0], 1, w - 2)
+    y = jnp.clip(xy[:, 1], 1, h - 2)
+
+    def parab(sm, s0, sp):
+        denom = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (sm - sp) / jnp.where(
+                            jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    ox = parab(score[y, x - 1], score[y, x], score[y, x + 1])
+    oy = parab(score[y - 1, x], score[y, x], score[y + 1, x])
+    return jnp.stack([ox, oy], axis=-1)
+
+
 def features_per_level(n_features: int, n_levels: int,
                        scale_factor: float) -> Tuple[int, ...]:
     """cv::ORB's geometric per-level feature budget: level l gets

@@ -30,6 +30,7 @@ from tod_tpu.ops.fast import (
     features_per_level,
     harris_response,
     select_topk_keypoints,
+    subpixel_offsets,
 )
 from tod_tpu.ops.image import build_pyramid, gaussian_blur, resize_nearest
 
@@ -256,13 +257,17 @@ def orb_detect_and_compute(
         scale_factor: float = 1.2,
         fast_threshold: float = 20.0,
         edge_threshold: int = EDGE_THRESHOLD,
-        mask: Optional[jax.Array] = None) -> Tuple[Keypoints, jax.Array]:
+        mask: Optional[jax.Array] = None,
+        subpixel: bool = True) -> Tuple[Keypoints, jax.Array]:
     """ORB keypoints + 256-bit descriptors with fully static shapes.
 
     Returns ``(Keypoints, descriptors)`` with exactly ``n_features`` padded
     slots; invalid slots have valid=False and zero descriptors. ``mask``
     (H,W, nonzero = allowed), when given, restricts detection like the
     cv::ORB mask argument used during training (Trainer.cpp:147).
+    ``subpixel`` refines reported keypoint coords by parabola fitting on the
+    FAST score map (descriptors/orientation still sample integer coords;
+    cv::ORB reports integer corners).
     """
     levels = build_pyramid(gray, n_levels, scale_factor)
     counts = features_per_level(n_features, n_levels, scale_factor)
@@ -288,7 +293,10 @@ def orb_detect_and_compute(
         desc = brief_descriptors(blurred, xy, angle)
         desc = jnp.where(valid[:, None], desc, jnp.uint8(0))
 
-        kxs.append(xy.astype(jnp.float32) * scale)
+        xy_f = xy.astype(jnp.float32)
+        if subpixel:
+            xy_f = xy_f + subpixel_offsets(score, xy)
+        kxs.append(xy_f * scale)
         all_resp.append(resp)
         all_angle.append(angle)
         all_level.append(jnp.full((k_lvl,), lvl, jnp.int32))

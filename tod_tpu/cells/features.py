@@ -27,18 +27,21 @@ from tod_tpu.utils.config import parse_json_params
 @functools.lru_cache(maxsize=8)
 def _jitted_features(feat_type: str, n_features: int, n_levels: int,
                      scale_factor: float, fast_threshold: float,
-                     with_mask: bool):
+                     with_mask: bool, subpixel: bool = False):
     if feat_type == "SIFT":
         from tod_tpu.ops.sift import sift_detect_and_compute as detect
+
+        extra = {}
     else:
         detect = orb_detect_and_compute
+        extra = {"subpixel": subpixel}
 
     @jax.jit
     def run(gray, mask=None):
         return detect(
             gray, n_features=n_features, n_levels=n_levels,
             scale_factor=scale_factor, fast_threshold=fast_threshold,
-            mask=mask)
+            mask=mask, **extra)
 
     return run
 
@@ -77,6 +80,10 @@ class FeatureDescriptor(Cell):
         self._n_levels = int(feat.get("n_levels", 3))
         self._scale = float(feat.get("scale_factor", 1.2))
         self._fast_threshold = float(feat.get("fast_threshold", 20))
+        # sub-pixel corner refinement: valuable for depthless (2D-only)
+        # detection where reprojection is the only signal; off by default
+        # (see ops/orb.orb_detect_and_compute)
+        self._subpixel = bool(feat.get("subpixel", False))
 
     def process(self) -> None:
         image = np.asarray(self.inputs["image"])
@@ -87,7 +94,7 @@ class FeatureDescriptor(Cell):
         mask = self.inputs["mask"]
         fn = _jitted_features(self._type, self._n_features, self._n_levels,
                               self._scale, self._fast_threshold,
-                              mask is not None)
+                              mask is not None, self._subpixel)
         if mask is not None:
             kps, desc = fn(gray, jnp.asarray(np.asarray(mask)))
         else:

@@ -14,7 +14,7 @@ O(batch * M^2) while keeping the MXU fed.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,8 +221,8 @@ MARGIN_ALPHA = 0.75     # cap priority = dist - alpha * cross-object level
 def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
                         query_pts: jax.Array, query_xy: jax.Array,
                         points: jax.Array, obj_start: jax.Array,
-                        sel: jax.Array, m_cap: int,
-                        radius: float) -> ObjectMatches:
+                        sel: jax.Array, m_cap: int, radius: float,
+                        level: Optional[jax.Array] = None) -> ObjectMatches:
     """Per-object fixed-capacity stores from per-(query, object) matches.
 
     ``dist``/``rows``: (Q, O) per-object nearest distance / row-in-object;
@@ -232,11 +232,15 @@ def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
     dist[q,o] sits well below q's distance level across other objects, while
     junk sits at the level — raw distance cannot tell them apart (measured:
     junk median 29 vs correct 25, tools/diag_correct.py). One match per
-    keypoint by construction, so rank-priority is unnecessary."""
+    keypoint by construction, so rank-priority is unnecessary.
+
+    ``level``: precomputed per-query cross-object median (pass it when
+    calling per-object in a loop so the (Q, O) median isn't recomputed)."""
     q_n = dist.shape[0]
     cap = min(m_cap, q_n)
     pad = m_cap - cap
-    level = jnp.median(dist, axis=1)                           # (Q,)
+    if level is None:
+        level = jnp.median(dist, axis=1)                       # (Q,)
 
     def one(o):
         o_safe = jnp.maximum(o, 0)
@@ -283,12 +287,13 @@ def detect_frame_segmented(
     # ---- tier 1: lean presence scores for every object ---------------------
     all_ids = jnp.arange(n_objects, dtype=jnp.int32)
     keys1 = jax.random.split(key_act, n_objects)
+    level = jnp.median(dist, axis=1)   # hoisted: shared by every store build
 
     def tier1(args):
         key_o, o = args
         m = build_object_stores(dist, rows, q_valid, query_pts, query_xy,
                                 points, obj_start, o[None], act.m_cap,
-                                radius)
+                                radius, level)
         m = jax.tree.map(lambda x: x[0], m)
         graphs = fill_adjacency(m, spans[o], cfg.sensor_error)
         return presence_score(key_o, m, graphs, act.n_hypotheses,
@@ -305,7 +310,7 @@ def detect_frame_segmented(
 
     stores = build_object_stores(dist, rows, q_valid, query_pts, query_xy,
                                  points, obj_start, active,
-                                 cfg.max_matches_per_object, radius)
+                                 cfg.max_matches_per_object, radius, level)
     act_spans = spans[jnp.maximum(active, 0)]
     det = detect_objects(key_det, stores, act_spans, cfg)
     det = ObjectDetections(

@@ -112,14 +112,25 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
     n_in = inl.sum(-1)                                   # (B,8)
     flat = n_in.reshape(-1)
 
-    # Planar scenes carry the classic two-fold PnP pose ambiguity: the
-    # flipped pose scores similar RAW consensus but refines worse. Refine
-    # the top few hypotheses and pick by POST-refinement consensus.
-    n_ref = 4
+    # Planar scenes carry the classic two-fold PnP tilt ambiguity (the
+    # mirrored pose is ~2*tilt away; measured: a consistent ~60deg error
+    # about the camera x-axis on frontal planar targets). Inlier COUNT at
+    # the pixel threshold cannot separate the branches — truncated
+    # reprojection SSE can (the wrong branch's residuals are bimodal under
+    # perspective foreshortening). Refine several top hypotheses (the P3P
+    # candidate set contains both branches) and pick by truncated SSE.
+    n_ref = 8
     _, top = jax.lax.top_k(flat, n_ref)
     r_top = sols.R.reshape(-1, 3, 3)[top]
     t_top = sols.T.reshape(-1, 3)[top]
     inl_top = inl.reshape(-1, mcap)[top]
+    thr2 = cfg.pixel_error ** 2
+
+    def trunc_sse(R, T):
+        uv, front = project(R, T, K, m.train_pts)
+        err2 = ((uv - m.query_xy) ** 2).sum(-1)
+        err2 = jnp.where(front, err2, 4.0 * thr2)
+        return jnp.where(valid, jnp.minimum(err2, 4.0 * thr2), 0.0).sum()
 
     def refine(r0, t0, inl0):
         r1, t1 = gauss_newton_pose(r0, t0, K, m.train_pts, m.query_xy,
@@ -131,13 +142,53 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
                                    iters=cfg.refine_iters)
         inl2 = count(r2, t2)
         better = inl2.sum() >= inl0.sum()
-        return (jnp.where(better, r2, r0), jnp.where(better, t2, t0),
-                jnp.where(better, inl2, inl0))
+        rr = jnp.where(better, r2, r0)
+        tt = jnp.where(better, t2, t0)
+        return rr, tt, jnp.where(better, inl2, inl0), trunc_sse(rr, tt)
 
-    r_ref, t_ref, inl_ref = jax.vmap(refine)(r_top, t_top, inl_top)
+    # explicit mirror branch: for (near-)planar models, reflect the model
+    # plane normal about the viewing ray (the IPPE-style second solution)
+    # and let GN polish it — guarantees BOTH ambiguity branches compete
+    # even when every top hypothesis sampled the same one.
+    ctr = jnp.where(valid[:, None], m.train_pts, 0.0)
+    nvalid = jnp.maximum(valid.sum(), 1)
+    mean = ctr.sum(0) / nvalid
+    cov = ((ctr - mean) * valid[:, None]).T @ (ctr - mean)
+    _, evecs = jnp.linalg.eigh(cov)
+    n_model = evecs[:, 0]                      # smallest-variance direction
+
+    def mirror(r0, t0):
+        n_c = r0 @ n_model
+        v = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-9)
+        n_ref = 2.0 * jnp.dot(n_c, v) * v - n_c
+        axis = jnp.cross(n_c, n_ref)
+        s = jnp.linalg.norm(axis)
+        c = jnp.clip(jnp.dot(n_c, n_ref), -1.0, 1.0)
+        a = axis / jnp.maximum(s, 1e-9)
+        ax = jnp.array([[0.0, -a[2], a[1]],
+                        [a[2], 0.0, -a[0]],
+                        [-a[1], a[0], 0.0]])
+        ang = jnp.arctan2(s, c)
+        Q = (jnp.eye(3) + jnp.sin(ang) * ax
+             + (1.0 - jnp.cos(ang)) * (ax @ ax))
+        Q = jnp.where(s > 1e-6, Q, jnp.eye(3))
+        return Q @ r0, t0
+
+    r_mir, t_mir = jax.vmap(mirror)(r_top, t_top)
+    inl_mir = jax.vmap(count)(r_mir, t_mir)
+    r_all = jnp.concatenate([r_top, r_mir])
+    t_all = jnp.concatenate([t_top, t_mir])
+    inl_all = jnp.concatenate([inl_top, inl_mir])
+    flat_all = jnp.concatenate([flat[top], flat[top]])
+
+    r_ref, t_ref, inl_ref, sse = jax.vmap(refine)(r_all, t_all, inl_all)
     n_ref_in = inl_ref.sum(-1)
-    win = jnp.argmax(n_ref_in)
-    found = flat[top[win]] >= 3
+    # candidates within 85% of the best inlier count compete on SSE
+    n_best = n_ref_in.max()
+    contender = n_ref_in.astype(jnp.float32) >= 0.85 * n_best.astype(
+        jnp.float32)
+    win = jnp.argmin(jnp.where(contender, sse, jnp.inf))
+    found = flat_all[win] >= 3
     R, T = r_ref[win], t_ref[win]
     inliers = inl_ref[win] & found
     n_unique = count_unique_query_indices(m.query_idx, inliers)

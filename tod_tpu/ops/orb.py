@@ -258,7 +258,7 @@ def orb_detect_and_compute(
         fast_threshold: float = 20.0,
         edge_threshold: int = EDGE_THRESHOLD,
         mask: Optional[jax.Array] = None,
-        subpixel: bool = True) -> Tuple[Keypoints, jax.Array]:
+        subpixel: bool = False) -> Tuple[Keypoints, jax.Array]:
     """ORB keypoints + 256-bit descriptors with fully static shapes.
 
     Returns ``(Keypoints, descriptors)`` with exactly ``n_features`` padded
@@ -266,8 +266,12 @@ def orb_detect_and_compute(
     (H,W, nonzero = allowed), when given, restricts detection like the
     cv::ORB mask argument used during training (Trainer.cpp:147).
     ``subpixel`` refines reported keypoint coords by parabola fitting on the
-    FAST score map (descriptors/orientation still sample integer coords;
-    cv::ORB reports integer corners).
+    FAST score map (descriptors/orientation still sample integer coords).
+    OFF by default: the trainer's mask snap quantizes model points to integer
+    pixels (reference semantics, training.cpp:88-102), and refining only the
+    detection side MEASURABLY HURTS end-to-end recall (0.917 -> 0.833 on the
+    100-object bench) — the quantization errors stop cancelling. Useful only
+    when both sides opt in.
     """
     levels = build_pyramid(gray, n_levels, scale_factor)
     counts = features_per_level(n_features, n_levels, scale_factor)

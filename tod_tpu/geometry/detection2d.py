@@ -28,10 +28,11 @@ from tod_tpu.geometry.adjacency import (
     count_unique_query_indices,
     pairwise_sq_dists,
 )
+from tod_tpu.geometry.detection import cluster_matches
 from tod_tpu.geometry.pnp import gauss_newton_pose, p3p, project
 from tod_tpu.geometry.ransac import (
-    NEG_INF,
     ObjectDetections,
+    consistency_log_weights,
     sample_triples,
 )
 
@@ -66,7 +67,7 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
     # scale-ratio consistent — the 2D analog of FillAdjacency's metric
     # consistency: for correct matches, pixel distance ~= (f/z) * model
     # distance with one global scale, so log(dpix/dmodel) clusters tightly;
-    # junk pairs scatter. Gate to the (masked-median) cluster +-log(1.35)
+    # junk pairs scatter. Gate to the mode cluster +-log(1.4)
     # (perspective tilt perturbs local scale ~15-25%).
     dpix2 = pairwise_sq_dists(
         jnp.concatenate([m.query_xy, jnp.zeros_like(m.query_xy[:, :1])], -1))
@@ -92,8 +93,6 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
 
     # weight triple draws by 3-path counts in the consistency graph (same
     # dense-core concentration as the 3D path's consistency_log_weights)
-    from tod_tpu.geometry.ransac import consistency_log_weights
-
     logw = consistency_log_weights(adj, valid)
     b = cfg.n_hypotheses
     (v1, v2, v3), samp_ok = sample_triples(key, adj, valid, b, logw=logw)
@@ -175,20 +174,26 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
         return Q @ r0, t0
 
     r_mir, t_mir = jax.vmap(mirror)(r_top, t_top)
-    inl_mir = jax.vmap(count)(r_mir, t_mir)
+    inl_mir = jax.vmap(count)(r_mir, t_mir) & (flat[top] >= 3)[:, None]
     r_all = jnp.concatenate([r_top, r_mir])
     t_all = jnp.concatenate([t_top, t_mir])
     inl_all = jnp.concatenate([inl_top, inl_mir])
-    flat_all = jnp.concatenate([flat[top], flat[top]])
+    # hypothesis validity: the pre-refinement counts already carry the
+    # sample/P3P masks (inl was masked by sols.valid & samp_ok), so a seed
+    # is valid iff it had >= 3 masked inliers. Refinement must not let an
+    # INVALID seed re-acquire inliers and win (it would then force
+    # found=False for the whole round).
+    ok_all = jnp.concatenate([flat[top] >= 3, flat[top] >= 3])
 
     r_ref, t_ref, inl_ref, sse = jax.vmap(refine)(r_all, t_all, inl_all)
+    inl_ref = inl_ref & ok_all[:, None]
     n_ref_in = inl_ref.sum(-1)
-    # candidates within 85% of the best inlier count compete on SSE
+    # valid candidates within 85% of the best inlier count compete on SSE
     n_best = n_ref_in.max()
-    contender = n_ref_in.astype(jnp.float32) >= 0.85 * n_best.astype(
-        jnp.float32)
+    contender = ok_all & (n_ref_in.astype(jnp.float32)
+                          >= 0.85 * n_best.astype(jnp.float32))
     win = jnp.argmin(jnp.where(contender, sse, jnp.inf))
-    found = flat_all[win] >= 3
+    found = ok_all[win] & (n_ref_in[win] >= 3)
     R, T = r_ref[win], t_ref[win]
     inliers = inl_ref[win] & found
     n_unique = count_unique_query_indices(m.query_idx, inliers)
@@ -221,47 +226,20 @@ def detect_frame_2d(key, obj_idx: jax.Array, dist: jax.Array,
                     object_ids: jax.Array, max_matches: int,
                     cfg: Pnp2dConfig) -> ObjectDetections:
     """Cluster flat (Q,k) matches per object and run the 2D pose search for
-    each. Mirrors detect_frame_from_matches with reprojection consensus."""
-    q, k = obj_idx.shape
-    qk = q * k
-    obj_flat = obj_idx.reshape(qk)
-    dist_flat = dist.reshape(qk)
-    rank_flat = jnp.tile(jnp.arange(k, dtype=jnp.float32), q)
-    valid_flat = valid.reshape(qk)
-    t_flat = train_pts.reshape(qk, 3)
-    kp_of_flat = jnp.repeat(jnp.arange(q, dtype=jnp.int32), k)
-    stride = jnp.where(valid_flat, dist_flat, 0.0).max() + 1.0
-    priority = rank_flat * stride + dist_flat
-    cap = min(max_matches, qk)
-    pad = max_matches - cap
-
-    def one_object(args):
-        key_o, o = args
-        mask = valid_flat & (obj_flat == o) & (o >= 0)
-        score = jnp.where(mask, -priority, NEG_INF)
-        _, sel = jax.lax.top_k(score, cap)
-        ok = mask[sel]
-        kp = kp_of_flat[sel]
-        m = ObjectMatches(
-            query_pts=jnp.zeros((cap, 3)),
-            train_pts=jnp.where(ok[:, None], t_flat[sel], 0.0),
-            query_idx=jnp.where(ok, kp, -1),
-            query_xy=jnp.where(ok[:, None], query_xy[kp], 0.0),
-            valid=ok)
-        if pad:
-            m = ObjectMatches(
-                query_pts=jnp.zeros((max_matches, 3)),
-                train_pts=jnp.concatenate(
-                    [m.train_pts, jnp.zeros((pad, 3))]),
-                query_idx=jnp.concatenate(
-                    [m.query_idx, jnp.full(pad, -1, jnp.int32)]),
-                query_xy=jnp.concatenate(
-                    [m.query_xy, jnp.zeros((pad, 2))]),
-                valid=jnp.concatenate([m.valid, jnp.zeros(pad, bool)]))
-        return detect_object_instances_2d(key_o, m, K, cfg)
+    each. Reuses the 3D path's cluster_matches (same eviction policy) with a
+    zero query-point placeholder — the 2D path never reads query_pts."""
+    q = obj_idx.shape[0]
+    clustered = cluster_matches(
+        obj_idx, dist, valid, train_pts,
+        jnp.zeros((q, 3), jnp.float32),   # finite placeholder: no 3D gate
+        query_xy, object_ids, max_matches)
 
     n_objects = object_ids.shape[0]
     keys = jax.random.split(key, n_objects)
-    return jax.lax.map(one_object,
-                       (keys, jnp.asarray(object_ids, jnp.int32)),
+
+    def one_object(args):
+        key_o, m = args
+        return detect_object_instances_2d(key_o, m, K, cfg)
+
+    return jax.lax.map(one_object, (keys, clustered),
                        batch_size=min(8, max(n_objects, 1)))

@@ -77,6 +77,11 @@ def pack_segmented(models: Sequence, db_chunk: int = DB_CHUNK
     cursor = 0
     for o, m in enumerate(models):
         n = m.n_points
+        if n > (1 << ROW_BITS):
+            raise ValueError(
+                f"object {o} has {n} rows > 2^{ROW_BITS}: the key packing "
+                "(dist << 18 | row) would silently corrupt results — split "
+                "the model or raise ROW_BITS")
         n_pad = -(-max(n, 1) // db_chunk) * db_chunk
         d = np.zeros((n_pad, 32), np.uint8)
         d[:n] = m.descriptors
@@ -155,7 +160,8 @@ def object_top1_fused(query_u8: jax.Array, db: SegmentedDb,
                       db_chunk: Optional[int] = None
                       ) -> Tuple[jax.Array, jax.Array]:
     """Per-(query, object) nearest row. Returns ``(dist (Q, O) f32,
-    row (Q, O) i32 row-within-object)``. Q must divide ``q_tile``; objects
+    row (Q, O) i32 row-within-object)``. Q must be a multiple of 128
+    (q_tile falls back to the largest of 512/256/128 dividing Q); objects
     with zero real rows report dist 511 (never within any sane radius)."""
     q = query_u8.shape[0]
     n = db.bits_t.shape[1]

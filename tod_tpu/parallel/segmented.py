@@ -25,8 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tod_tpu.db.models import TodModel
-from tod_tpu.ops.pallas.segmented import (DB_CHUNK, SegmentedDb, object_top1,
-                                          pack_segmented)
+from tod_tpu.ops.pallas.segmented import (DB_CHUNK, PAD_POP, SegmentedDb,
+                                          object_top1, pack_segmented)
 
 
 def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
@@ -56,7 +56,6 @@ def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
         extra = n_rows_max - n
         if not extra:
             return db
-        from tod_tpu.ops.pallas.segmented import PAD_POP
         return SegmentedDb(
             bits_t=jnp.concatenate(
                 [db.bits_t, jnp.zeros((256, extra), db.bits_t.dtype)], 1),

@@ -232,3 +232,39 @@ def test_l2_topk_exact(rng):
     ref_idx = np.argsort(ref, axis=1)[:, :3]
     ref_d = np.take_along_axis(ref, ref_idx, 1)
     np.testing.assert_allclose(np.asarray(dist), ref_d, rtol=1e-4, atol=1e-4)
+
+
+def test_subpixel_offsets_recover_parabola_peak(rng):
+    """subpixel_offsets finds the continuous peak of a quadratic score bump
+    and clamps to +-0.5px."""
+    import jax.numpy as jnp
+
+    from tod_tpu.ops.fast import subpixel_offsets
+
+    h, w = 64, 64
+    true = np.array([[30.3, 40.6], [10.0, 12.0]])   # (x, y) continuous peaks
+    ys, xs = np.mgrid[0:h, 0:w]
+    score = np.zeros((h, w), np.float32)
+    for tx, ty in true:
+        score += np.maximum(0.0, 25.0 - ((xs - tx) ** 2 + (ys - ty) ** 2))
+    xy = jnp.asarray(np.round(true).astype(np.int32))          # (2,2) int
+    off = np.asarray(subpixel_offsets(jnp.asarray(score), xy))
+    refined = np.round(true) + off
+    np.testing.assert_allclose(refined, true, atol=0.05)
+    assert (np.abs(off) <= 0.5).all()
+
+
+def test_subpixel_off_by_default(rng):
+    """Default extraction reports integer keypoint coords (trainer snap
+    parity); subpixel=True produces fractional ones."""
+    from tod_tpu.ops.orb import orb_detect_and_compute
+
+    img = jnp.asarray(rng.uniform(0, 255, (120, 160)), jnp.float32)
+    # single level: higher levels scale coords by 1.2^l (fractional anyway)
+    kps, _ = orb_detect_and_compute(img, n_features=100, n_levels=1)
+    xy = np.asarray(kps.xy)[np.asarray(kps.valid)]
+    np.testing.assert_array_equal(xy, np.round(xy))
+    kps_s, _ = orb_detect_and_compute(img, n_features=100, n_levels=1,
+                                      subpixel=True)
+    xy_s = np.asarray(kps_s.xy)[np.asarray(kps_s.valid)]
+    assert (np.abs(xy_s - np.round(xy_s)) > 1e-6).any()

@@ -53,13 +53,20 @@ def build_db(n_objects: int, seed: int = 0):
     training pipeline (honest DB: real descriptor statistics in both the
     matcher and the geometry stage — no perturbed-copy decoys).
 
-    Set BENCH_DB_CACHE=<dir> to reuse trained models across runs (dev
-    iteration only; the default trains live)."""
+    Trained models are cached under BENCH_DB_CACHE (default: .bench_cache/
+    next to this script) so repeat runs skip the ~10-minute 100-object
+    training preamble; set BENCH_DB_CACHE= (empty) to force live training.
+    The JAX persistent compilation cache is deliberately NOT enabled: the
+    tunnel compile service hangs when it is configured (memory/axon notes).
+    """
     from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
     from tod_tpu.models import TodTrainer
     from tod_tpu.utils.synthetic import SyntheticObject, turntable_observations
 
-    cache_dir = os.environ.get("BENCH_DB_CACHE")
+    cache_dir = os.environ.get(
+        "BENCH_DB_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache"))
     dedup = int(os.environ.get("BENCH_DEDUP", "8"))
     cache = None
     if cache_dir:
@@ -150,8 +157,11 @@ def main():
         import jax.numpy as jnp
 
         rng_p = np.random.default_rng(3)
-        qs = np.concatenate([all_models[0].descriptors[:256],
-                             rng_p.integers(0, 256, (256, 32), np.uint8)])
+        # fixed 512-row query block (multiple of 128) regardless of how many
+        # descriptors the first model actually has
+        q0 = all_models[0].descriptors[:256]
+        qs = np.concatenate([q0, rng_p.integers(0, 256, (512 - len(q0), 32),
+                                                np.uint8)])
         db_p, nv = pad_db(np.concatenate(
             [m.descriptors for m in all_models[:8]]).astype(np.uint8), 2048)
         bits_t, pop = pack_db_bits(jnp.asarray(db_p), jnp.int8)
@@ -176,9 +186,7 @@ def main():
                                                   pack_segmented)
 
         sdb_g = pack_segmented(all_models[:8])
-        qg = jnp.asarray(np.concatenate(
-            [all_models[0].descriptors[:256],
-             rng_p.integers(0, 256, (256, 32), np.uint8)]))
+        qg = jnp.asarray(qs)
         dg_f, ig_f = jax.jit(object_top1_fused)(qg, sdb_g)
         dg_x, ig_x = jax.jit(object_top1_xla)(qg, sdb_g)
         if not ((np.asarray(dg_f) == np.asarray(dg_x)).all()

@@ -218,8 +218,10 @@ def test_segmented_detector_recovers_poses(trained):
         assert ang < 5.0, f"{oid}: rotation error {ang:.2f} deg"
 
 
-def test_segmented_detector_batched_consistent(trained):
-    """Batched segmented detection equals per-frame streaming detection."""
+def test_segmented_detector_batched_matches_streaming(trained):
+    """Batched segmented detection row i equals a streaming run with the
+    SAME per-row RNG key: identical acceptance pattern and poses."""
+    import jax
     import jax.numpy as jnp
     from tod_tpu.geometry.detection import ActivationConfig
 
@@ -235,12 +237,23 @@ def test_segmented_detector_batched_consistent(trained):
     image, depth, _ = _scene(objects)
     g, d, k = det.prepare_frame(image, depth, DEFAULT_K)
 
-    det._key = __import__("jax").random.PRNGKey(11)
+    det._key = jax.random.PRNGKey(11)
     _, out_b = det.detect_batch_raw(jnp.stack([g, g]), jnp.stack([d, d]),
                                     jnp.stack([k, k]))
     acc = np.asarray(out_b.accepted)
-    assert acc.shape[0] == 2
-    # both batch rows saw the same frame: identical acceptance pattern is not
-    # guaranteed (independent RNG keys), but each row must find both objects
+    assert acc.shape[0] == 2 and acc.any(), "batched rows found nothing"
+
+    # reproduce the per-row keys detect_batch_raw derived from PRNGKey(11)
+    # and drive each row through the STREAMING stage functions
+    _, sub = jax.random.split(jax.random.PRNGKey(11))
+    keys = jax.random.split(sub, 2)
+    s1, s2, s3 = det._stages
+    xy, qp, dsc, ok = s1(g, d, k)
+    dist, rows = s2(dsc, det.sdb)
     for b in range(2):
-        assert acc[b].any(), "batched segmented row found nothing"
+        det_s = s3(keys[b], xy, qp, ok, dist, rows, det.sdb.points,
+                   det.sdb.obj_start, det.sdb.spans)
+        np.testing.assert_array_equal(acc[b], np.asarray(det_s.accepted))
+        sel = acc[b]
+        np.testing.assert_allclose(np.asarray(out_b.T[b])[sel],
+                                   np.asarray(det_s.T)[sel], atol=1e-5)

@@ -300,14 +300,14 @@ def test_sharded_object_top1_exact(devices8, rng):
         jnp.asarray(q), stacked)
 
     # reference: single-device kernel over the SAME shard-major order
+    # (pad slots carry id None and an empty model)
     by_id = {m.object_id: m for m in models}
-    ordered = [by_id.get(i, TodModel("__pad__",
-                                     np.zeros((0, 32), np.uint8),
-                                     np.zeros((0, 3), np.float32)))
-               for i in ids]
+    ordered = [TodModel("", np.zeros((0, 32), np.uint8),
+                        np.zeros((0, 3), np.float32))
+               if i is None else by_id[i] for i in ids]
     db1 = pack_segmented(ordered, db_chunk=2048)
     d_1, r_1 = object_top1(jnp.asarray(q), db1, db_chunk=2048)
 
-    assert len(ids) == 8 and ids.count("__pad__") == 1
+    assert len(ids) == 8 and ids.count(None) == 1
     np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_1))
     np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_1))

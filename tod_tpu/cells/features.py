@@ -84,6 +84,12 @@ class FeatureDescriptor(Cell):
         # detection where reprojection is the only signal; off by default
         # (see ops/orb.orb_detect_and_compute)
         self._subpixel = bool(feat.get("subpixel", False))
+        if self._subpixel and self._type != "ORB":
+            import warnings
+
+            warnings.warn(
+                f"feature param subpixel=true is only implemented for ORB; "
+                f"{self._type} keypoints keep integer coordinates")
 
     def process(self) -> None:
         image = np.asarray(self.inputs["image"])

@@ -34,7 +34,8 @@ from tod_tpu.utils.config import parse_json_params
 @functools.lru_cache(maxsize=8)
 def _jitted_train_views(feat_type: str, n_features: int, n_levels: int,
                         scale_factor: float, fast_threshold: float,
-                        img_hw: Tuple[int, int], rgb: bool):
+                        img_hw: Tuple[int, int], rgb: bool,
+                        subpixel: bool = False):
     """One jitted program for a whole view batch:
     (images, masks, depths, Ks, Rs, Ts) stacked over the view axis ->
     (descriptors (V,K,32), world points (V,K,3), valid (V,K)).
@@ -54,7 +55,8 @@ def _jitted_train_views(feat_type: str, n_features: int, n_levels: int,
         return train_views_step(
             grays, masks, depths_m, Ks, Rs, Ts, n_features=n_features,
             n_levels=n_levels, scale_factor=scale_factor,
-            fast_threshold=fast_threshold, feature_type=feat_type)
+            fast_threshold=fast_threshold, feature_type=feat_type,
+            subpixel=subpixel)
 
     return run
 
@@ -101,6 +103,16 @@ class Trainer(Cell):
         self._n_levels = int(feat.get("n_levels", 3))
         self._scale = float(feat.get("scale_factor", 1.2))
         self._fast_threshold = float(feat.get("fast_threshold", 20))
+        # trainer-side sub-pixel model points (ORB only, default off =
+        # reference-parity integer snap, training.cpp:88-102); pair with the
+        # detection-side "subpixel" feature param (cells/features.py)
+        self._subpixel = bool(feat.get("subpixel", False))
+        if self._subpixel and self._type != "ORB":
+            import warnings
+
+            warnings.warn(
+                f"feature param subpixel=true is only implemented for ORB; "
+                f"{self._type} training keeps integer coordinates")
 
     def process(self) -> None:
         db = ObjectDbParameters(self.inputs["json_db"]).generate_db()
@@ -119,7 +131,8 @@ class Trainer(Cell):
         for (img_shape, _), group in groups.items():
             run = _jitted_train_views(
                 self._type, self._n_features, self._n_levels, self._scale,
-                self._fast_threshold, img_shape[:2], len(img_shape) == 3)
+                self._fast_threshold, img_shape[:2], len(img_shape) == 3,
+                self._subpixel)
             images = np.stack([np.asarray(o.image) for o in group])
             masks = np.stack([np.asarray(o.mask) for o in group])
             depths = np.stack([np.asarray(o.depth) for o in group])

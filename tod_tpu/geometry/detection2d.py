@@ -47,6 +47,13 @@ class Pnp2dConfig:
     pixel_error: float = 4.0   # reprojection inlier threshold (px)
     max_instances: int = 3
     refine_iters: int = 5
+    # Depth prior for the scale-ratio sampling gate: the histogram of
+    # log(pixel-dist / model-dist) is binned over [log(f/z_max), log(f/z_min)]
+    # with f taken from K — scenes whose true object depth falls outside
+    # [z_min, z_max] would clamp the mode into an edge bin and degrade the
+    # sampling graph, so widen these for macro or long-range work.
+    z_min: float = 0.25        # meters: nearest expected object distance
+    z_max: float = 5.0         # meters: farthest expected object distance
 
 
 def _bearings(query_xy: jax.Array, K: jax.Array) -> jax.Array:
@@ -79,14 +86,20 @@ def ransac_round_2d(key, m: ObjectMatches, K: jax.Array, valid: jax.Array,
                    - jnp.log(jnp.maximum(dtrain2, 1e-12)))
     # global scale estimate = histogram MODE of log(dpix/dmodel) over valid
     # pairs (median is fragile when junk pairs outnumber correct ones):
-    # correct pairs pile into one ~f/z bin, junk spreads. Fixed bin range
-    # covers f/z from ~50 to ~5000 px/m (f 300-1200px, z 0.25-5m).
+    # correct pairs pile into one ~f/z bin, junk spreads. The bin range is
+    # derived from the camera's focal length and the config's depth prior
+    # (f/z for z in [z_min, z_max]) so it tracks K instead of assuming a
+    # fixed px/m envelope.
     n_bins = 64
-    lo, hi = jnp.log(50.0), jnp.log(5000.0)
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    lo, hi = jnp.log(f / cfg.z_max), jnp.log(f / cfg.z_min)
+    # pairs whose ratio falls OUTSIDE the prior range are excluded from the
+    # vote (clamping them into the edge bins lets junk mass steal the mode)
+    in_range = base & (log_r >= lo) & (log_r < hi)
     bins = jnp.clip(((log_r - lo) / (hi - lo) * n_bins).astype(jnp.int32),
                     0, n_bins - 1)
     counts = jnp.zeros(n_bins, jnp.int32).at[
-        jnp.where(base, bins, 0)].add(base.astype(jnp.int32))
+        jnp.where(in_range, bins, 0)].add(in_range.astype(jnp.int32))
     peak = jnp.argmax(counts)
     center = lo + (peak.astype(jnp.float32) + 0.5) / n_bins * (hi - lo)
     adj = base & (jnp.abs(log_r - center) < jnp.log(1.4))

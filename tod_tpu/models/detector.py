@@ -69,8 +69,11 @@ class TodDetector(BlackBox):
                   default="{}")
         p.declare("json_object_ids", "The ids of the objects to find as a "
                   'JSON list or the keyword "all".', default="all")
-        p.declare("visualize", "If true, some windows pop up to see the "
-                  "progress", default=False)
+        p.declare("visualize", "Debug overlays: false (off), true (PNGs "
+                  "under /tmp/tod_tpu_viz), or a string path prefix. This "
+                  "framework is headless — where the reference pops highgui "
+                  "windows (detector.py:84-108), overlays are written as "
+                  "image files.", default=False)
 
     def configure_blackbox(self, p, _i, _o):
         self.descriptor_matcher = DescriptorMatcher(
@@ -81,7 +84,9 @@ class TodDetector(BlackBox):
         self._points3d = DepthTo3d()
 
     def connections(self, p):
-        # Rescale the depth image and convert to 3d (detector.py:64-69)
+        # depth branch: resize depth to the RGB frame, then back-project the
+        # dense cloud the pose search consumes (wiring parity with
+        # detector.py:64-69)
         graph = [self.passthrough["image"] >> self.depth_map["image"],
                  self.depth_map["depth"] >> self._points3d["depth"],
                  self.passthrough["K_image"] >> self._points3d["K"],

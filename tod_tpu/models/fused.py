@@ -52,6 +52,9 @@ class FusedDetectorConfig:
     n_levels: int = 3
     scale_factor: float = 1.2
     fast_threshold: float = 20.0
+    subpixel: bool = False      # sub-pixel keypoint coords; only useful when
+                                # the MODELS were also trained with subpixel
+                                # (feature param, cells/trainer.py)
     k_matches: int = 5          # knnMatch k (DescriptorMatcher.cpp:211)
     radius: float = 35.0        # Hamming radius cut (conf/detection.ork:38)
     db_chunk: int = 16384
@@ -155,7 +158,8 @@ def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,
     """The fused forward pass: RGB-D frame + model DB -> poses."""
     kps, desc = orb_detect_and_compute(
         gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
-        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
+        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold,
+        subpixel=cfg.subpixel)
 
     dist, rows = match_against_db(desc, db, cfg)
     m_valid = (rows >= 0) & (dist <= cfg.radius) & kps.valid[:, None]
@@ -202,7 +206,8 @@ def _jitted_detect(cfg: FusedDetectorConfig):
 def _stage_features(gray, depth, K, cfg: FusedDetectorConfig):
     kps, desc = orb_detect_and_compute(
         gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
-        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
+        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold,
+        subpixel=cfg.subpixel)
     depth_m = to_metric_depth(depth)
     query_pts = depth_to_3d_sparse(depth_m, K, kps.xy)
     query_pts = jnp.where(kps.valid[:, None], query_pts, jnp.nan)
@@ -253,7 +258,8 @@ def _stage_features_compact(gray, depth, K, cfg: FusedDetectorConfig):
     ClusterPerObject's NaN skip, adjacency_ransac.cpp:187-190)."""
     kps, desc = orb_detect_and_compute(
         gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
-        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold)
+        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold,
+        subpixel=cfg.subpixel)
     depth_m = to_metric_depth(depth)
     query_pts = depth_to_3d_sparse(depth_m, K, kps.xy)
     finite = jnp.isfinite(query_pts).all(-1) & kps.valid

@@ -19,11 +19,13 @@ from tod_tpu.ops.image import resize_nearest
 
 def to_metric_depth(depth: jax.Array) -> jax.Array:
     """Convert a depth map to float32 meters with NaN for invalid pixels
-    (cv::rescaleDepth semantics). Integer maps are millimeters; 0 (and
-    saturated u16) are invalid. Float maps pass through, non-finite -> NaN."""
+    (cv::rescaleDepth semantics). Integer maps are millimeters; 0, saturated
+    u16 (65535) and non-positive i16 values (CV_16S sensors use negative
+    sentinels — training.cpp:107-129 handles both 16U and 16S) are invalid.
+    Float maps pass through, non-finite or non-positive -> NaN."""
     if jnp.issubdtype(depth.dtype, jnp.integer):
         d = depth.astype(jnp.float32)
-        invalid = (d == 0.0) | (d >= 65535.0)
+        invalid = (d <= 0.0) | (d >= 65535.0)
         return jnp.where(invalid, jnp.nan, d / 1000.0)
     d = depth.astype(jnp.float32)
     return jnp.where(jnp.isfinite(d) & (d > 0), d, jnp.nan)

@@ -38,14 +38,18 @@ def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
 
     Returns ``(stacked SegmentedDb with leading dim n_shards, object_ids in
     concatenated shard-major order — the object axis of the gathered
-    (Q, O) result)``."""
+    (Q, O) result)``. Padding slots (short shards) appear as ``None`` in the
+    id list; their rows never match (PAD_POP sentinel), so consumers can
+    either filter by ``id is None`` or ignore them (their distances are
+    +inf-like)."""
     per = [list(models[s::n_shards]) for s in range(n_shards)]
     o_max = max((len(p) for p in per), default=0)
+    pad_slots = [[False] * len(p) + [True] * (o_max - len(p)) for p in per]
     n_rows_max = 0
     packed = []
     for p in per:
         while len(p) < o_max:
-            p.append(TodModel("__pad__", np.zeros((0, 32), np.uint8),
+            p.append(TodModel("", np.zeros((0, 32), np.uint8),
                               np.zeros((0, 3), np.float32)))
         db = pack_segmented(p, db_chunk)
         packed.append(db)
@@ -75,7 +79,9 @@ def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
 
     packed = [pad_rows(db) for db in packed]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
-    ids = [m.object_id for p in per for m in p]
+    ids = [None if is_pad else m.object_id
+           for p, pads in zip(per, pad_slots)
+           for m, is_pad in zip(p, pads)]
     return stacked, ids
 
 

@@ -28,22 +28,37 @@ def train_views_step(grays: jax.Array, masks: jax.Array, depths_m: jax.Array,
                      n_features: int = 1000, n_levels: int = 3,
                      scale_factor: float = 1.2,
                      fast_threshold: float = 20.0,
-                     feature_type: str = "ORB") -> Tuple[jax.Array, jax.Array, jax.Array]:
+                     feature_type: str = "ORB",
+                     subpixel: bool = False) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched per-view model building: (V,H,W) grays/masks/depths ->
     (V,K,D) descriptors (u8 ORB bits or f32 SIFT), (V,K,3) world points,
-    (V,K) valid."""
+    (V,K) valid.
+
+    ``subpixel`` (ORB only): refine keypoint coords by parabola fitting and
+    back-project model points through the FRACTIONAL pixel ray. Off by
+    default — the reference snaps training keypoints to integers
+    (training.cpp:88-102), and detection-side subpixel only helps when both
+    sides opt in (ops/orb.py)."""
     if feature_type == "SIFT":
         from tod_tpu.ops.sift import sift_detect_and_compute as detect
+
+        extra = {}
     else:
         detect = orb_detect_and_compute
+        extra = {"subpixel": subpixel}
 
     def one_view(gray, mask, depth_m, K, R, T):
         kps, desc = detect(
             gray, n_features=n_features, n_levels=n_levels,
             scale_factor=scale_factor, fast_threshold=fast_threshold,
-            mask=mask)
+            mask=mask, **extra)
         val = validate_keypoints(kps.xy, kps.valid, mask, depth_m)
-        cam_pts = depth_to_3d_sparse(depth_m, K, val.xy.astype(jnp.float32))
+        coords = val.xy.astype(jnp.float32)
+        if subpixel and feature_type != "SIFT":
+            # keep the sub-pixel fraction on top of the mask-snapped integer
+            # coordinate (depth is still read at the integer pixel)
+            coords = coords + (kps.xy - jnp.round(kps.xy))
+        cam_pts = depth_to_3d_sparse(depth_m, K, coords)
         world = camera_to_world(R, T, cam_pts)
         return desc, world, val.valid
 
@@ -51,11 +66,13 @@ def train_views_step(grays: jax.Array, masks: jax.Array, depths_m: jax.Array,
 
 
 def train_views_sharded(mesh: Mesh, n_features: int = 1000,
-                        n_levels: int = 3, scale_factor: float = 1.2):
+                        n_levels: int = 3, scale_factor: float = 1.2,
+                        subpixel: bool = False):
     """jit the training step with the view batch sharded over 'data'."""
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     fn = functools.partial(train_views_step, n_features=n_features,
-                           n_levels=n_levels, scale_factor=scale_factor)
+                           n_levels=n_levels, scale_factor=scale_factor,
+                           subpixel=subpixel)
     return jax.jit(fn, in_shardings=(data, data, data, data, data, data),
                    out_shardings=(data, data, data))

@@ -257,3 +257,59 @@ def test_segmented_detector_batched_matches_streaming(trained):
         sel = acc[b]
         np.testing.assert_allclose(np.asarray(out_b.T[b])[sel],
                                    np.asarray(det_s.T)[sel], atol=1e-5)
+
+
+def test_serving_ork_pipeline_matches_fused(trained):
+    """`pipeline: segmented` in a detection .ork serves the segmented
+    pipeline through the L5/L6 surface, and its poses AGREE with a direct
+    FusedDetector run at the same config + seed (VERDICT r2 item 3)."""
+    import os
+
+    from tod_tpu.geometry.detection import ActivationConfig
+    from tod_tpu.pipeline.ork import build_pipeline_from_ork
+
+    objects, db = trained
+    image, depth, gt_poses = _scene(objects)
+
+    conf = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "detection.serving.ork")
+    feature = {"type": "ORB", "n_features": 1500, "n_levels": 3,
+               "scale_factor": 1.2}
+    knobs = dict(q_cap=1024, n_ransac_iterations=512, min_inliers=8,
+                 max_instances=2, max_matches_per_object=256,
+                 max_active_objects=2, activation_m_cap=128,
+                 activation_hypotheses=128)
+    p = build_pipeline_from_ork(conf, overrides={
+        "source1": {"frames": [{"image": image, "depth": depth,
+                                "K": DEFAULT_K}]},
+        "pipeline1": {"db": json.loads(DB_JSON), "feature": feature,
+                      **knobs},
+    })
+    p.execute(1)
+    ork_results = p.cells["pipeline1"].outputs["pose_results"]
+    assert ork_results, "serving .ork pipeline found no poses"
+
+    # ground truth holds through the .ork surface
+    for oid, (gt_R, gt_T) in zip(OBJECT_IDS, gt_poses):
+        mine = [r for r in ork_results if r.object_id == oid]
+        assert mine, f"{oid} not detected through the serving .ork"
+        best = max(mine, key=lambda r: r.confidence)
+        assert np.linalg.norm(best.T - gt_T) < 0.02
+
+    # pose agreement with the Python-API FusedDetector at the same
+    # config/seed (identical PRNG stream -> identical detections)
+    models = load_models_for_objects(db, "all")
+    cfg = FusedDetectorConfig(
+        n_features=1500, pipeline="segmented", q_cap=1024, radius=50.0,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=512, min_inliers=8,
+                                sensor_error=0.01, max_instances=2,
+                                tight_final_fit=True),
+            max_matches_per_object=256, max_active_objects=2))
+    fused = FusedDetector(models, cfg, seed=0)
+    direct = fused.detect(image, depth, DEFAULT_K)
+    key = lambda r: (r.object_id, round(float(r.confidence)))
+    assert sorted(map(key, ork_results)) == sorted(map(key, direct))
+    for a, b in zip(sorted(ork_results, key=key), sorted(direct, key=key)):
+        np.testing.assert_allclose(a.T, b.T, atol=1e-5)

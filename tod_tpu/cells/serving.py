@@ -1,0 +1,149 @@
+"""SegmentedDetector cell: the segmented serving pipeline as a graph cell.
+
+Makes the production serving path (per-(query, object) matching + tier-1
+geometric activation + tier-2 certified RANSAC — see
+tod_tpu.models.fused.FusedDetector and geometry/detection.py
+detect_frame_segmented) reachable from the reference's L5/L6 surface: a
+``pipeline: segmented`` parameter in a detection ``.ork``
+(conf/detection.serving.ork) switches TodDetector to this cell, so
+``apps/tod detection`` serves the fast pipeline. The reference has no such
+knob — its only detection pipeline is the global-kNN cell graph
+(conf/detection.ork:17-46); this cell carries the same tendril contract
+(pose_results out) with the TPU-native serving internals.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from tod_tpu.pipeline.cell import Cell
+from tod_tpu.pipeline.tendril import Tendrils
+from tod_tpu.utils.config import parse_json_params
+
+
+class SegmentedDetector(Cell):
+    """One cell wrapping the staged segmented FusedDetector (features +
+    query compaction | per-object Pallas matching | two-tier geometry)."""
+
+    @staticmethod
+    def declare_params(p: Tendrils) -> None:
+        p.declare("json_feature_params",
+                  'Feature params JSON ({"type": "ORB", "n_features": ...}).',
+                  default='{"type": "ORB", "n_features": 5000}')
+        p.declare("json_descriptor_params",
+                  "Accepted for .ork schema compatibility (ORB descriptors "
+                  "are implied by the feature type).",
+                  default='{"type": "ORB"}')
+        p.declare("search_json_params",
+                  'JSON: {"radius": Hamming acceptance radius} (the segmented '
+                  "matcher is per-object top-1; k/LSH knobs are accepted and "
+                  "ignored).", default="{}")
+        p.declare("json_db", "The DB parameters as a JSON string.",
+                  default="{}")
+        p.declare("json_object_ids",
+                  'The object ids to load, as a JSON list or "all".',
+                  default="all")
+        p.declare("q_cap", "Matched-keypoint budget: queries are compacted "
+                  "to this many highest-response keypoints with valid 3D.",
+                  default=2048)
+        p.declare("n_ransac_iterations",
+                  "Tier-2 RANSAC hypothesis batch size.", default=768)
+        p.declare("min_inliers", "Minimum unique-keypoint inliers to accept "
+                  "a pose.", default=8)
+        p.declare("sensor_error", "The error (in meters) from the sensor.",
+                  default=0.01)
+        p.declare("max_instances",
+                  "Static cap on instances found per object.", default=3)
+        p.declare("max_matches_per_object",
+                  "Tier-2 per-object match capacity.", default=384)
+        p.declare("max_active_objects",
+                  "Objects entering tier-2 (top-N by tier-1 presence score).",
+                  default=16)
+        p.declare("activation_m_cap",
+                  "Tier-1 per-object match capacity.", default=192)
+        p.declare("activation_hypotheses",
+                  "Tier-1 lean-RANSAC budget per object.", default=192)
+        p.declare("activation_min_score",
+                  "Tier-1 score below which an object is never activated.",
+                  default=4)
+        p.declare("tight_final_fit",
+                  "Refit the final pose on the strict-sigma inlier set.",
+                  default=True)
+        p.declare("seed", "PRNG seed for hypothesis sampling.", default=0)
+        p.declare("visualize", "Accepted for pipeline compatibility (pose "
+                  "overlays are drawn by the PoseDrawer cell).",
+                  default=False)
+
+    @staticmethod
+    def declare_io(p: Tendrils, i: Tendrils, o: Tendrils) -> None:
+        i.declare("image", "(H,W,3) u8 or (H,W) gray frame.")
+        i.declare("depth", "(H,W) depth (u16 mm or f32 metric).")
+        i.declare("K", "(3,3) camera intrinsics.")
+        o.declare("pose_results", "List of PoseResult.")
+        o.declare("Rs", "Rotations of the poses (for visualization).")
+        o.declare("Ts", "Translations of the poses.")
+        o.declare("object_ids", "The ids of the loaded objects.")
+        o.declare("keypoints", "None (features live inside the fused stages; "
+                  "declared for PoseDrawer wiring parity).")
+
+    def configure(self) -> None:
+        from tod_tpu.db import ObjectDbParameters, load_models_for_objects
+        from tod_tpu.geometry.detection import ActivationConfig, GuessConfig
+        from tod_tpu.geometry.ransac import RansacConfig
+        from tod_tpu.models.fused import FusedDetector, FusedDetectorConfig
+
+        feat = parse_json_params(self.params["json_feature_params"])
+        if feat.get("type", "ORB") != "ORB":
+            raise ValueError("the segmented serving pipeline is "
+                             "ORB/Hamming-only; use pipeline: cells for SIFT")
+        search = parse_json_params(self.params["search_json_params"])
+
+        self._db_params = parse_json_params(self.params["json_db"])
+        db = ObjectDbParameters(self.params["json_db"]).generate_db()
+        object_ids = self.params["json_object_ids"]
+        if isinstance(object_ids, str) and object_ids not in ("all", ""):
+            object_ids = parse_json_params(object_ids) \
+                if object_ids.startswith("[") else [object_ids]
+        models = load_models_for_objects(db, object_ids or "all")
+
+        cfg = FusedDetectorConfig(
+            n_features=int(feat.get("n_features", 5000)),
+            n_levels=int(feat.get("n_levels", 3)),
+            scale_factor=float(feat.get("scale_factor", 1.2)),
+            fast_threshold=float(feat.get("fast_threshold", 20)),
+            subpixel=bool(feat.get("subpixel", False)),
+            radius=float(search.get("radius", 50) or 50),
+            pipeline="segmented",
+            q_cap=int(self.params["q_cap"]),
+            activation=ActivationConfig(
+                m_cap=int(self.params["activation_m_cap"]),
+                n_hypotheses=int(self.params["activation_hypotheses"]),
+                min_score=int(self.params["activation_min_score"])),
+            guess=GuessConfig(
+                ransac=RansacConfig(
+                    n_hypotheses=max(128, min(int(
+                        self.params["n_ransac_iterations"]), 4096)),
+                    min_inliers=int(self.params["min_inliers"]),
+                    sensor_error=float(self.params["sensor_error"]),
+                    max_instances=int(self.params["max_instances"]),
+                    tight_final_fit=bool(self.params["tight_final_fit"])),
+                max_matches_per_object=int(
+                    self.params["max_matches_per_object"]),
+                max_active_objects=int(self.params["max_active_objects"])))
+        self._detector = FusedDetector(models, cfg,
+                                       seed=int(self.params["seed"]))
+
+    def process(self) -> None:
+        image = np.asarray(self.inputs["image"])
+        depth = np.asarray(self.inputs["depth"])
+        K = np.asarray(self.inputs["K"], np.float32)
+        results = self._detector.detect(image, depth, K)
+        for r in results:
+            r.db_params = self._db_params
+        self.outputs["pose_results"] = results
+        self.outputs["Rs"] = [r.R for r in results]
+        self.outputs["Ts"] = [r.T for r in results]
+        self.outputs["object_ids"] = list(self._detector.object_ids)
+        self.outputs["keypoints"] = None

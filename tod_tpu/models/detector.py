@@ -25,16 +25,29 @@ from tod_tpu.pipeline.tendril import Tendrils
 class TodDetector(BlackBox):
     @classmethod
     def declare_cells(cls, p: Tendrils):
-        guess_params = {"visualize": p["visualize"], "db": p["json_db"]}
         cells = {
             "depth_map": CellInfo(RescaledRegisteredDepth),
-            "feature_descriptor": CellInfo(FeatureDescriptor),
-            "guess_generator": CellInfo(GuessGenerator, guess_params),
             "passthrough": CellInfo(
                 PassthroughN,
                 {"items": {"image": "An image",
                            "K_image": "The camera matrix"}}),
         }
+        if p["pipeline"] == "segmented":
+            # the TPU-native serving pipeline behind the same .ork surface:
+            # per-object matching + two-tier geometry in one cell
+            # (cells/serving.py; selected by `pipeline: segmented` in the
+            # detection .ork, conf/detection.serving.ork)
+            from tod_tpu.cells.serving import SegmentedDetector
+
+            cells["serving"] = CellInfo(SegmentedDetector, {
+                "search_json_params": p["search"],
+                "json_db": p["json_db"],
+                "json_object_ids": p["json_object_ids"],
+                "visualize": p["visualize"]})
+        else:
+            guess_params = {"visualize": p["visualize"], "db": p["json_db"]}
+            cells["feature_descriptor"] = CellInfo(FeatureDescriptor)
+            cells["guess_generator"] = CellInfo(GuessGenerator, guess_params)
         if p["visualize"]:
             # the reference's DrawKeypoints + imshow + PosesDrawer subgraph
             # (detector.py:84-108), headless: PNG sink per frame
@@ -47,6 +60,25 @@ class TodDetector(BlackBox):
 
     @classmethod
     def declare_forwards(cls, _p):
+        if _p["pipeline"] == "segmented":
+            p = {"serving": [Forward("json_feature_params"),
+                             Forward("json_descriptor_params"),
+                             Forward("n_ransac_iterations"),
+                             Forward("min_inliers"),
+                             Forward("sensor_error"),
+                             Forward("max_instances"),
+                             Forward("max_matches_per_object"),
+                             Forward("max_active_objects"),
+                             Forward("q_cap"),
+                             Forward("activation_m_cap"),
+                             Forward("activation_hypotheses"),
+                             Forward("activation_min_score"),
+                             Forward("tight_final_fit"),
+                             Forward("seed")]}
+            i = {"passthrough": [Forward("image"), Forward("K_image")],
+                 "depth_map": [Forward("depth_in", "depth")]}
+            o = {"serving": [Forward("pose_results")]}
+            return p, i, o
         p = {"feature_descriptor": [Forward("json_feature_params"),
                                     Forward("json_descriptor_params")],
              "guess_generator": [Forward("n_ransac_iterations"),
@@ -69,6 +101,11 @@ class TodDetector(BlackBox):
                   default="{}")
         p.declare("json_object_ids", "The ids of the objects to find as a "
                   'JSON list or the keyword "all".', default="all")
+        p.declare("pipeline", 'Serving architecture: "cells" (the '
+                  "reference's global-kNN cell graph) or \"segmented\" (the "
+                  "TPU-native per-object serving pipeline, "
+                  "cells/serving.py). Reference .ork files have no such "
+                  "knob and default to the cell graph.", default="cells")
         p.declare("visualize", "Debug overlays: false (off), true (PNGs "
                   "under /tmp/tod_tpu_viz), or a string path prefix. This "
                   "framework is headless — where the reference pops highgui "
@@ -76,6 +113,8 @@ class TodDetector(BlackBox):
                   "image files.", default=False)
 
     def configure_blackbox(self, p, _i, _o):
+        if p["pipeline"] == "segmented":
+            return
         self.descriptor_matcher = DescriptorMatcher(
             "Matcher",
             search_json_params=p["search"],
@@ -84,6 +123,21 @@ class TodDetector(BlackBox):
         self._points3d = DepthTo3d()
 
     def connections(self, p):
+        if p["pipeline"] == "segmented":
+            graph = [self.passthrough["image"] >> self.depth_map["image"],
+                     self.passthrough["image"] >> self.serving["image"],
+                     self.depth_map["depth"] >> self.serving["depth"],
+                     self.passthrough["K_image"] >> self.serving["K"]]
+            if p["visualize"]:
+                graph += [self.passthrough["image"]
+                          >> self.pose_drawer["image"],
+                          self.passthrough["K_image"]
+                          >> self.pose_drawer["K_image"],
+                          self.serving["keypoints"]
+                          >> self.pose_drawer["keypoints"],
+                          self.serving["pose_results"]
+                          >> self.pose_drawer["pose_results"]]
+            return graph
         # depth branch: resize depth to the RGB frame, then back-project the
         # dense cloud the pose search consumes (wiring parity with
         # detector.py:64-69)

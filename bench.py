@@ -61,7 +61,23 @@ def build_db(n_objects: int, seed: int = 0):
     """
     from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
     from tod_tpu.models import TodTrainer
-    from tod_tpu.utils.synthetic import SyntheticObject, turntable_observations
+    from tod_tpu.utils.synthetic import (SyntheticBox, SyntheticCylinder,
+                                         SyntheticObject,
+                                         turntable_observations)
+
+    # BENCH_SHAPES=plane (default, rounds-1/2-comparable) or mixed
+    # (plane/box/cylinder cycling — the reference's actual 3D domain)
+    shapes = os.environ.get("BENCH_SHAPES", "plane")
+
+    def make_obj(i: int):
+        oid = f"obj{i:03d}"
+        if shapes != "mixed" or i % 3 == 0:
+            return SyntheticObject.make(oid, seed=100 + i)
+        if i % 3 == 1:
+            return SyntheticBox.make(oid, seed=100 + i,
+                                     size_m=(0.2, 0.15, 0.1))
+        return SyntheticCylinder.make(oid, seed=100 + i, radius_m=0.08,
+                                      height_m=0.2)
 
     cache_dir = os.environ.get(
         "BENCH_DB_CACHE",
@@ -71,13 +87,12 @@ def build_db(n_objects: int, seed: int = 0):
     cache = None
     if cache_dir:
         cache = os.path.join(cache_dir,
-                             f"db_n{n_objects}_s{seed}_d{dedup}.npz")
+                             f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}.npz")
         if os.path.exists(cache):
             from tod_tpu.db.models import TodModel
 
             data = np.load(cache)
-            objects = [SyntheticObject.make(f"obj{i:03d}", seed=100 + i)
-                       for i in range(n_objects)]
+            objects = [make_obj(i) for i in range(n_objects)]
             models = [TodModel(f"obj{i:03d}", data[f"d{i}"], data[f"p{i}"])
                       for i in range(n_objects)]
             log(f"loaded {n_objects} cached models from {cache}")
@@ -89,7 +104,7 @@ def build_db(n_objects: int, seed: int = 0):
     t0 = time.time()
     trainer = None
     for i in range(n_objects):
-        obj = SyntheticObject.make(f"obj{i:03d}", seed=100 + i)
+        obj = make_obj(i)
         objects.append(obj)
         # 12 views x 3 elevation rings = 36 views, the reference's turntable
         # capture scale (SURVEY.md section 3.1 "~36 views"); the near-frontal
@@ -141,7 +156,9 @@ def main():
     from tod_tpu.geometry.detection import GuessConfig
     from tod_tpu.geometry.ransac import RansacConfig
     from tod_tpu.models import FusedDetector, FusedDetectorConfig
-    from tod_tpu.utils.synthetic import DEFAULT_K, compose_scene, facing_pose
+    from tod_tpu.utils.synthetic import (DEFAULT_K, SyntheticObject,
+                                         compose_scene, facing_pose,
+                                         presenting_pose)
 
     objects, all_models = build_db(n_objects)
     n_desc = sum(m.n_points for m in all_models)
@@ -231,8 +248,11 @@ def main():
     scenes = []
     for s in range(n_scenes):
         trio = [objects[(3 * s + j) % len(objects)] for j in range(3)]
-        poses = [facing_pose(rng, z=0.75), facing_pose(rng, z=0.9),
-                 facing_pose(rng, z=1.05)]
+        # planes are two-sided (facing_pose); solids must present their
+        # trained (+z turntable-top) side to the camera
+        poses = [facing_pose(rng, z=z) if isinstance(o, SyntheticObject)
+                 else presenting_pose(rng, z=z)
+                 for o, z in zip(trio, (0.75, 0.9, 1.05))]
         poses[0][1][0] = -0.22
         poses[1][1][0] = 0.02
         poses[2][1][0] = 0.24
@@ -362,6 +382,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
         "recall_at_2cm": round(recall, 4),
+        "shapes": os.environ.get("BENCH_SHAPES", "plane"),
     }), flush=True)
 
 

@@ -80,6 +80,64 @@ def look_at(camera_center: np.ndarray, target: np.ndarray,
     return R, T
 
 
+def _pixel_rays(K: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """(H,W,3) unnormalized camera-frame rays through every pixel center."""
+    h, w = hw
+    Kinv = np.linalg.inv(K)
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    rays = np.stack([us, vs, np.ones_like(us)], -1).astype(np.float64)
+    return rays @ Kinv.T
+
+
+def render_quad(texture: np.ndarray, corners_obj: np.ndarray, R: np.ndarray,
+                T: np.ndarray, K: np.ndarray, hw: Tuple[int, int],
+                canvas: np.ndarray, depth_buf: np.ndarray,
+                cull: bool = True) -> np.ndarray:
+    """Render one textured planar quad (corners in OBJECT frame, CCW as seen
+    from the textured side) under pose x_cam = R @ X_obj + T, z-buffered into
+    (canvas, depth_buf) in place. Returns the quad's visibility mask (bool).
+
+    The planar homography maps the square texture onto the projected quad;
+    depth is analytic from the quad's supporting plane (n.X = c in camera
+    frame => lambda = c / (n . K^-1 p) per pixel). With ``cull`` (solid
+    faces), backfacing quads are skipped; with ``cull=False`` (thin textured
+    sheets like SyntheticObject planes), the same homography renders from
+    either side — the appearance seen from behind is the texture's mirror
+    image, exactly like a slide held up to the light."""
+    h, w = hw
+    cam = corners_obj @ R.T + T                                   # (4,3)
+    if (cam[:, 2] <= 0.05).any():
+        return np.zeros((h, w), bool)
+
+    # supporting plane in camera frame
+    n_obj = np.cross(corners_obj[1] - corners_obj[0],
+                     corners_obj[3] - corners_obj[0])
+    n_cam = R @ (n_obj / (np.linalg.norm(n_obj) + 1e-12))
+    c_cam = float(n_cam @ cam[0])
+    if cull and c_cam >= 0:   # normal points away from the camera => backface
+        return np.zeros((h, w), bool)
+
+    pix = cam @ K.T
+    pix = pix[:, :2] / pix[:, 2:3]
+    ts = texture.shape[0]
+    src = np.array([[0, 0], [ts - 1, 0], [ts - 1, ts - 1], [0, ts - 1]],
+                   np.float32)
+    H = cv2.getPerspectiveTransform(src, pix.astype(np.float32))
+    warped = cv2.warpPerspective(texture, H, (w, h), flags=cv2.INTER_LINEAR)
+    mask = cv2.warpPerspective(np.full((ts, ts), 255, np.uint8), H, (w, h),
+                               flags=cv2.INTER_NEAREST)
+
+    rays_cam = _pixel_rays(K, hw)
+    denom = rays_cam @ n_cam
+    with np.errstate(divide="ignore", invalid="ignore"):
+        depth = np.where(np.abs(denom) > 1e-9, c_cam / denom, 0.0)
+    visible = (mask > 0) & (depth > 0.05) & (
+        (depth_buf == 0) | (depth < depth_buf))
+    canvas[visible] = warped[visible]
+    depth_buf[visible] = depth[visible].astype(np.float32)
+    return visible
+
+
 def render_plane(texture: np.ndarray, size_m: float, R: np.ndarray,
                  T: np.ndarray, K: np.ndarray, hw: Tuple[int, int],
                  canvas: Optional[np.ndarray] = None,
@@ -94,44 +152,20 @@ def render_plane(texture: np.ndarray, size_m: float, R: np.ndarray,
         canvas = np.zeros((h, w), np.uint8)
     if depth_buf is None:
         depth_buf = np.zeros((h, w), np.float32)
-
     s = size_m / 2.0
     corners_obj = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]],
                            np.float64)
-    cam = corners_obj @ R.T + T
-    if (cam[:, 2] <= 0.05).any():
-        return canvas, depth_buf, np.zeros((h, w), np.uint8)
-    pix = (cam @ K.T)
-    pix = pix[:, :2] / pix[:, 2:3]
-
-    ts = texture.shape[0]
-    src = np.array([[0, 0], [ts - 1, 0], [ts - 1, ts - 1], [0, ts - 1]],
-                   np.float32)
-    H = cv2.getPerspectiveTransform(src, pix.astype(np.float32))
-    warped = cv2.warpPerspective(texture, H, (w, h),
-                                 flags=cv2.INTER_LINEAR)
-    mask = cv2.warpPerspective(np.full((ts, ts), 255, np.uint8), H, (w, h),
-                               flags=cv2.INTER_NEAREST)
-
-    # analytic plane depth: lambda = (R^T T)_z / (R^T K^-1 p)_z per pixel
-    Kinv = np.linalg.inv(K)
-    us, vs = np.meshgrid(np.arange(w), np.arange(h))
-    rays = np.stack([us, vs, np.ones_like(us)], -1).astype(np.float64)
-    rays_cam = rays @ Kinv.T
-    denom = rays_cam @ R[:, 2]       # (R^T d)_z = col3(R) . d
-    numer = (R.T @ T)[2]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        depth = np.where(np.abs(denom) > 1e-9, numer / denom, 0.0)
-    visible = (mask > 0) & (depth > 0.05) & (
-        (depth_buf == 0) | (depth < depth_buf))
-    canvas[visible] = warped[visible]
-    depth_buf[visible] = depth[visible].astype(np.float32)
-    obj_mask = (visible * 255).astype(np.uint8)
-    return canvas, depth_buf, obj_mask
+    # cull=False: a plane is a thin textured sheet, visible from both sides
+    # through the SAME homography (round-1/2 behavior preserved exactly)
+    visible = render_quad(texture, corners_obj, R, T, K, hw, canvas,
+                          depth_buf, cull=False)
+    return canvas, depth_buf, (visible * 255).astype(np.uint8)
 
 
 @dataclasses.dataclass
 class SyntheticObject:
+    """A textured square plane — the round-1/2 evaluation object."""
+
     object_id: str
     texture: np.ndarray
     size_m: float = 0.24
@@ -140,8 +174,144 @@ class SyntheticObject:
     def make(cls, object_id: str, seed: int, size_m: float = 0.24):
         return cls(object_id, make_texture(seed), size_m)
 
+    def render(self, R: np.ndarray, T: np.ndarray, K: np.ndarray,
+               hw: Tuple[int, int], canvas=None, depth_buf=None):
+        return render_plane(self.texture, self.size_m, R, T, K, hw,
+                            canvas, depth_buf)
 
-def turntable_observations(obj: SyntheticObject, n_views: int = 12,
+
+@dataclasses.dataclass
+class SyntheticBox:
+    """A textured axis-aligned box (object frame: centered at the origin,
+    extents ``size_m``) with a DISTINCT texture per face — the non-planar
+    domain the reference actually targets (turntable captures of 3D household
+    objects, Trainer.cpp:121-187): self-occlusion in every view, multi-view
+    model merging across faces, rank-3 model point sets."""
+
+    object_id: str
+    textures: List[np.ndarray]               # 6 face textures (+x,-x,+y,-y,+z,-z)
+    size_m: Tuple[float, float, float] = (0.16, 0.12, 0.08)
+
+    @classmethod
+    def make(cls, object_id: str, seed: int,
+             size_m: Tuple[float, float, float] = (0.16, 0.12, 0.08)):
+        return cls(object_id,
+                   [make_texture(seed * 7 + f, size=256) for f in range(6)],
+                   size_m)
+
+    def _faces(self) -> List[np.ndarray]:
+        sx, sy, sz = (s / 2.0 for s in self.size_m)
+        # each face CCW as seen from OUTSIDE (outward normal via
+        # cross(c1-c0, c3-c0))
+        return [np.array(f, np.float64) for f in (
+            [( sx, -sy, -sz), ( sx,  sy, -sz), ( sx,  sy,  sz), ( sx, -sy,  sz)],   # +x
+            [(-sx,  sy, -sz), (-sx, -sy, -sz), (-sx, -sy,  sz), (-sx,  sy,  sz)],   # -x
+            [( sx,  sy, -sz), (-sx,  sy, -sz), (-sx,  sy,  sz), ( sx,  sy,  sz)],   # +y
+            [(-sx, -sy, -sz), ( sx, -sy, -sz), ( sx, -sy,  sz), (-sx, -sy,  sz)],   # -y
+            [(-sx, -sy,  sz), ( sx, -sy,  sz), ( sx,  sy,  sz), (-sx,  sy,  sz)],   # +z
+            [(-sx,  sy, -sz), ( sx,  sy, -sz), ( sx, -sy, -sz), (-sx, -sy, -sz)],   # -z
+        )]
+
+    def render(self, R: np.ndarray, T: np.ndarray, K: np.ndarray,
+               hw: Tuple[int, int], canvas=None, depth_buf=None):
+        h, w = hw
+        if canvas is None:
+            canvas = np.zeros((h, w), np.uint8)
+        if depth_buf is None:
+            depth_buf = np.zeros((h, w), np.float32)
+        visible = np.zeros((h, w), bool)
+        for tex, quad in zip(self.textures, self._faces()):
+            visible |= render_quad(tex, quad, R, T, K, hw, canvas, depth_buf)
+        return canvas, depth_buf, (visible * 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class SyntheticCylinder:
+    """A textured cylinder (object frame: axis = z, centered at the origin):
+    CURVED geometry — every view's model points span rank 3, surface normals
+    vary continuously, and the silhouette self-occludes. Rendered by
+    analytic per-pixel ray casting (side + end caps)."""
+
+    object_id: str
+    side_texture: np.ndarray
+    cap_texture: np.ndarray
+    radius_m: float = 0.06
+    height_m: float = 0.18
+
+    @classmethod
+    def make(cls, object_id: str, seed: int, radius_m: float = 0.06,
+             height_m: float = 0.18):
+        return cls(object_id, make_texture(seed * 11 + 3, size=384),
+                   make_texture(seed * 11 + 5, size=256), radius_m, height_m)
+
+    def render(self, R: np.ndarray, T: np.ndarray, K: np.ndarray,
+               hw: Tuple[int, int], canvas=None, depth_buf=None):
+        h, w = hw
+        if canvas is None:
+            canvas = np.zeros((h, w), np.uint8)
+        if depth_buf is None:
+            depth_buf = np.zeros((h, w), np.float32)
+        r, hh = self.radius_m, self.height_m / 2.0
+
+        # rays in OBJECT frame: o + t*d with o = -R^T T, d = R^T K^-1 p
+        d_cam = _pixel_rays(K, hw)                              # (H,W,3)
+        d = d_cam @ R                                           # R^T applied
+        o = -(R.T @ T)                                          # (3,)
+        best_t = np.full((h, w), np.inf)
+        shade = np.zeros((h, w), np.uint8)
+
+        # side: (ox+t*dx)^2 + (oy+t*dy)^2 = r^2, z within [-hh, hh]
+        a = d[..., 0] ** 2 + d[..., 1] ** 2
+        b = 2 * (o[0] * d[..., 0] + o[1] * d[..., 1])
+        c = o[0] ** 2 + o[1] ** 2 - r * r
+        disc = b * b - 4 * a * c
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            for sign in (-1.0, 1.0):        # near hit first, far as fallback
+                t = (-b + sign * sq) / (2 * a)
+                z = o[2] + t * d[..., 2]
+                lam = t * d_cam[..., 2]     # camera-frame depth of the hit
+                ok = (disc > 0) & (t > 0) & (np.abs(z) <= hh) \
+                    & (lam > 0.05) & (t < best_t)
+                if ok.any():
+                    u = (np.arctan2(o[1] + t * d[..., 1],
+                                    o[0] + t * d[..., 0]) / (2 * np.pi)
+                         + 0.5)
+                    v = (z + hh) / (2 * hh)
+                    ts = self.side_texture.shape
+                    ui = np.clip((u * (ts[1] - 1)).astype(np.int32), 0,
+                                 ts[1] - 1)
+                    vi = np.clip((v * (ts[0] - 1)).astype(np.int32), 0,
+                                 ts[0] - 1)
+                    shade = np.where(ok, self.side_texture[vi, ui], shade)
+                    best_t = np.where(ok, t, best_t)
+
+        # end caps: z = +-hh discs of radius r
+        for zc in (hh, -hh):
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = (zc - o[2]) / d[..., 2]
+            x = o[0] + t * d[..., 0]
+            y = o[1] + t * d[..., 1]
+            lam = t * d_cam[..., 2]
+            ok = (np.abs(d[..., 2]) > 1e-9) & (t > 0) \
+                & (x * x + y * y <= r * r) & (lam > 0.05) & (t < best_t)
+            if ok.any():
+                ts = self.cap_texture.shape
+                ui = np.clip(((x / r * 0.5 + 0.5)
+                              * (ts[1] - 1)).astype(np.int32), 0, ts[1] - 1)
+                vi = np.clip(((y / r * 0.5 + 0.5)
+                              * (ts[0] - 1)).astype(np.int32), 0, ts[0] - 1)
+                shade = np.where(ok, self.cap_texture[vi, ui], shade)
+                best_t = np.where(ok, t, best_t)
+
+        depth = np.where(np.isfinite(best_t), best_t * d_cam[..., 2], 0.0)
+        visible = (depth > 0.05) & ((depth_buf == 0) | (depth < depth_buf))
+        canvas[visible] = shade[visible]
+        depth_buf[visible] = depth[visible].astype(np.float32)
+        return canvas, depth_buf, (visible * 255).astype(np.uint8)
+
+
+def turntable_observations(obj, n_views: int = 12,
                            distance: float = 0.8,
                            elevations_deg: Sequence[float] = (65.0, 40.0),
                            hw: Tuple[int, int] = (480, 640),
@@ -149,9 +319,10 @@ def turntable_observations(obj: SyntheticObject, n_views: int = 12,
     """Orbit a camera around the object (object frame == world frame) and
     render observations in the trainer's expected format.
 
-    ``n_views`` azimuth steps per elevation ring; multiple rings give the
-    viewpoint coverage a real turntable capture provides (the reference's
-    ~36-view captures, SURVEY.md section 3.1)."""
+    ``obj`` is any synthetic object exposing ``render(R, T, K, hw, ...)``
+    (plane / box / cylinder). ``n_views`` azimuth steps per elevation ring;
+    multiple rings give the viewpoint coverage a real turntable capture
+    provides (the reference's ~36-view captures, SURVEY.md section 3.1)."""
     out = []
     frame = 0
     for el_deg in elevations_deg:
@@ -162,8 +333,7 @@ def turntable_observations(obj: SyntheticObject, n_views: int = 12,
                                      np.sin(az) * np.cos(el),
                                      np.sin(el)])
             R, T = look_at(c, np.zeros(3))
-            canvas, depth, mask = render_plane(obj.texture, obj.size_m, R, T,
-                                               K, hw)
+            canvas, depth, mask = obj.render(R, T, K, hw)
             image = np.repeat(canvas[..., None], 3, axis=-1)
             depth_u16 = np.round(depth * 1000).astype(np.uint16)
             out.append(dict(image=image, depth=depth_u16, mask=mask, K=K,
@@ -172,25 +342,38 @@ def turntable_observations(obj: SyntheticObject, n_views: int = 12,
     return out
 
 
-def compose_scene(objects: Sequence[SyntheticObject],
+def compose_scene(objects: Sequence,
                   poses: Sequence[Tuple[np.ndarray, np.ndarray]],
                   hw: Tuple[int, int] = (480, 640),
                   K: np.ndarray = DEFAULT_K,
                   background_seed: int = 99,
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Render several objects at given model->camera poses into one RGB-D
-    frame. Returns (image (H,W,3) u8, depth u16 mm with 0=invalid)."""
+    """Render several objects (planes / boxes / cylinders) at given
+    model->camera poses into one z-buffered RGB-D frame.
+    Returns (image (H,W,3) u8, depth u16 mm with 0=invalid)."""
     h, w = hw
     rngb = np.random.default_rng(background_seed)
     canvas = rngb.integers(90, 110, (h, w), np.uint8)
     canvas = cv2.GaussianBlur(canvas, (5, 5), 3.0)
     depth_buf = np.zeros((h, w), np.float32)
     for obj, (R, T) in zip(objects, poses):
-        canvas, depth_buf, _ = render_plane(obj.texture, obj.size_m, R, T, K,
-                                            hw, canvas, depth_buf)
+        canvas, depth_buf, _ = obj.render(R, T, K, hw, canvas, depth_buf)
     image = np.repeat(canvas[..., None], 3, axis=-1)
     depth_u16 = np.round(depth_buf * 1000).astype(np.uint16)
     return image, depth_u16
+
+
+def presenting_pose(rng: np.random.Generator, z: float = 0.8,
+                    max_tilt: float = 0.5,
+                    xy_extent: float = 0.18) -> Tuple[np.ndarray, np.ndarray]:
+    """A random model->camera pose presenting the object's +z side — the
+    side a turntable capture actually trains (cameras orbit ABOVE the
+    object) — to the camera: ``facing_pose``'s tilt composed with a pi flip
+    about x so object +z maps near camera -z. Use this for SOLID objects
+    (boxes/cylinders): ``facing_pose`` at small tilt shows a solid's
+    never-trained bottom face."""
+    R, T = facing_pose(rng, z, max_tilt, xy_extent)
+    return R @ np.diag([1.0, -1.0, -1.0]), T
 
 
 def facing_pose(rng: np.random.Generator, z: float = 0.8,

@@ -145,6 +145,32 @@ def build_db(n_objects: int, seed: int = 0):
     return objects, models
 
 
+def build_scenes(objects, n_scenes: int):
+    """The bench's detection workload: ``n_scenes`` scenes of 3 objects each,
+    cycling through the whole object set (shared by bench.py and
+    tools/bench_oracle.py so both engines score the SAME placements).
+    Returns [(image, depth_u16, [(object_id, R, T), ...]), ...]."""
+    from tod_tpu.utils.synthetic import (SyntheticObject, compose_scene,
+                                         facing_pose, presenting_pose)
+
+    rng = np.random.default_rng(7)
+    scenes = []
+    for s in range(n_scenes):
+        trio = [objects[(3 * s + j) % len(objects)] for j in range(3)]
+        # planes are two-sided (facing_pose); solids must present their
+        # trained (+z turntable-top) side to the camera
+        poses = [facing_pose(rng, z=z) if isinstance(o, SyntheticObject)
+                 else presenting_pose(rng, z=z)
+                 for o, z in zip(trio, (0.75, 0.9, 1.05))]
+        poses[0][1][0] = -0.22
+        poses[1][1][0] = 0.02
+        poses[2][1][0] = 0.24
+        image, depth = compose_scene(trio, poses)
+        gt = [(o.object_id, R, T) for o, (R, T) in zip(trio, poses)]
+        scenes.append((image, depth, gt))
+    return scenes
+
+
 def main():
     n_objects = int(os.environ.get("BENCH_OBJECTS", "100"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
@@ -156,9 +182,7 @@ def main():
     from tod_tpu.geometry.detection import GuessConfig
     from tod_tpu.geometry.ransac import RansacConfig
     from tod_tpu.models import FusedDetector, FusedDetectorConfig
-    from tod_tpu.utils.synthetic import (DEFAULT_K, SyntheticObject,
-                                         compose_scene, facing_pose,
-                                         presenting_pose)
+    from tod_tpu.utils.synthetic import DEFAULT_K
 
     objects, all_models = build_db(n_objects)
     n_desc = sum(m.n_points for m in all_models)
@@ -233,6 +257,8 @@ def main():
         guess=GuessConfig(
             ransac=RansacConfig(
                 n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),
+                continuation_hypotheses=int(
+                    os.environ.get("BENCH_CONT", "192")),
                 min_inliers=8, max_instances=3, tight_final_fit=True),
             # M=384 beats 512 on BOTH axes with margin-ordered caps (junk
             # tail drops faster than correct): recall .917 @ 34 FPS
@@ -244,21 +270,7 @@ def main():
     # pre-render scenes of 3 objects each, cycling through the whole DB so
     # recall samples many distinct objects (not a favorable fixed trio)
     n_scenes = int(os.environ.get("BENCH_SCENES", "8"))
-    rng = np.random.default_rng(7)
-    scenes = []
-    for s in range(n_scenes):
-        trio = [objects[(3 * s + j) % len(objects)] for j in range(3)]
-        # planes are two-sided (facing_pose); solids must present their
-        # trained (+z turntable-top) side to the camera
-        poses = [facing_pose(rng, z=z) if isinstance(o, SyntheticObject)
-                 else presenting_pose(rng, z=z)
-                 for o, z in zip(trio, (0.75, 0.9, 1.05))]
-        poses[0][1][0] = -0.22
-        poses[1][1][0] = 0.02
-        poses[2][1][0] = 0.24
-        image, depth = compose_scene(trio, poses)
-        gt = [(o.object_id, R, T) for o, (R, T) in zip(trio, poses)]
-        scenes.append((image, depth, gt))
+    scenes = build_scenes(objects, n_scenes)
     log(f"{n_scenes} scenes rendered")
 
     # pre-upload frames to the device (serving keeps frames device-resident;
@@ -341,6 +353,21 @@ def main():
     log(f"{n_frames} frames (streaming) in {dt:.2f}s -> {fps_stream:.2f} FPS")
     fps = max(fps_batch, fps_stream)
 
+    # per-frame LATENCY: one frame dispatched, hard-synced before the next —
+    # what an interactive 30 Hz camera loop feels (VERDICT r2 item 5).
+    # Through the axon tunnel every sync pays the ~25-30 ms RTT, which an
+    # on-device caller would not; reported as-is (no RTT subtraction).
+    lat = []
+    for f in range(min(n_frames, 20)):
+        t0 = time.time()
+        _, out = det.detect_raw(*device_scenes[f % len(device_scenes)])
+        np.asarray(jax.device_get(out.accepted))  # hard sync per frame
+        lat.append(time.time() - t0)
+    lat_ms = np.asarray(lat) * 1000.0
+    lat_p50, lat_p95 = np.percentile(lat_ms, [50, 95])
+    log(f"per-frame latency: p50 {lat_p50:.1f} ms / p95 {lat_p95:.1f} ms "
+        f"(hard sync per frame, tunnel RTT included)")
+
     # secondary: matcher-only throughput vs CPU brute force (the global
     # exact-kNN matcher, independent of the serving pipeline choice)
     try:
@@ -376,14 +403,27 @@ def main():
     except Exception as e:  # secondary metric must not break the bench
         log(f"matcher comparison skipped: {e}")
 
-    print(json.dumps({
+    out = {
         "metric": "detection_fps_640x480_100obj",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
         "recall_at_2cm": round(recall, 4),
+        "latency_ms_p50": round(float(lat_p50), 2),
+        "latency_ms_p95": round(float(lat_p95), 2),
         "shapes": os.environ.get("BENCH_SHAPES", "plane"),
-    }), flush=True)
+    }
+    # reference-semantics CPU baseline over the same workload, if the oracle
+    # bench has been run (tools/bench_oracle.py; VERDICT r2 item 1)
+    oracle_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "ORACLE_BENCH.json")
+    if os.path.exists(oracle_path):
+        with open(oracle_path) as f:
+            oracle = json.load(f)
+        if oracle.get("n_objects") == n_objects:
+            out["oracle_recall_at_2cm"] = oracle.get("recall_at_2cm")
+            out["oracle_cpu_fps"] = oracle.get("cpu_fps")
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

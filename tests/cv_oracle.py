@@ -200,24 +200,40 @@ class OraclePose:
 
 
 def ransac_once(rng, qpts, tpts, qxy, qidx, physical, sample, valid, sigma,
-                n_iterations, use_residual_test=True) -> Optional[OraclePose]:
+                n_iterations, use_residual_test=True,
+                adaptive=False) -> Optional[OraclePose]:
     """One full RANSAC + refinement (RandomSampleConsensus::computeModel,
     ransac.h:80-143, + AdjacencyRansac::Ransac refinement,
-    adjacency_ransac.cpp:235-309)."""
+    adjacency_ransac.cpp:235-309).
+
+    ``adaptive``: the reference's early-termination rule (ransac.h:124-135):
+    stop once k = log(1-p)/log(1-w^3) trials are done, w = best inlier
+    ratio, p = 0.99. Off by default (fixed-budget, matching the tod_tpu
+    parallel batch); turn on for bench-scale oracle runs where the
+    sequential loop must exit like the reference does."""
     valid_idx = np.nonzero(valid)[0]
     if len(valid_idx) < 3:
         return None
     best_inl, best_R, best_T = None, None, None
+    k_adaptive = float(n_iterations)
+    trials = 0
     for _ in range(int(n_iterations)):
+        if adaptive and trials >= k_adaptive:
+            break
         s = _draw_sample(rng, sample & valid[None, :] & valid[:, None],
                          valid_idx)
         if s is None:
             break
+        trials += 1
         R, T = horn(qpts[list(s)], tpts[list(s)])
         inl = _select_within(R, T, s, qpts, tpts, physical, sample, valid,
                              sigma, use_residual_test)
         if inl is not None and (best_inl is None or len(inl) > len(best_inl)):
             best_inl, best_R, best_T = inl, R, T
+            if adaptive:
+                w = len(inl) / max(len(valid_idx), 1)
+                denom = np.log(max(1.0 - w ** 3, 1e-12))
+                k_adaptive = min(k_adaptive, np.log(0.01) / denom)
     if best_inl is None:
         return None
 
@@ -252,7 +268,7 @@ def ransac_once(rng, qpts, tpts, qxy, qidx, physical, sample, valid, sigma,
 
 def detect_object(rng, qpts, tpts, qxy, qidx, span, sigma=0.01,
                   n_iterations=1000, min_inliers=8, max_instances=5,
-                  use_residual_test=True) -> List[OraclePose]:
+                  use_residual_test=True, adaptive=False) -> List[OraclePose]:
     """The multi-instance loop (GuessGenerator.cpp:170-235): RANSAC, accept
     at >= min_inliers unique keypoints, invalidate the inliers' keypoints
     (InvalidateQueryIndices, adjacency_ransac.cpp:94-123), repeat."""
@@ -265,7 +281,8 @@ def detect_object(rng, qpts, tpts, qxy, qidx, span, sigma=0.01,
     poses = []
     for _ in range(max_instances):
         pose = ransac_once(rng, qpts, tpts, qxy, qidx, physical, sample,
-                           valid, sigma, n_iterations, use_residual_test)
+                           valid, sigma, n_iterations, use_residual_test,
+                           adaptive)
         if pose is None or pose.n_unique < min_inliers:
             break
         poses.append(pose)

@@ -385,3 +385,69 @@ def test_cluster_matches_rank_major_for_l2_distances():
     # capacity 6 = exactly the 6 rank-0 matches; all 6 keypoints must appear
     kept = np.asarray(out.query_idx[0])[np.asarray(out.valid[0])]
     assert sorted(kept.tolist()) == list(range(q))
+
+
+def test_fixed_refine_loop_matches_while_loop(rng):
+    """fixed_refine_loop (the batched-serving form) is result-identical to
+    the while_loop refinement for the same key/config."""
+    import dataclasses
+
+    m, span, _, _ = _synthetic_matches(rng, n_true=40, n_out=24, sigma=0.002)
+    g = fill_adjacency(m, jnp.float32(span), 0.01)
+    cfg = RansacConfig(n_hypotheses=256, min_inliers=8)
+    key = jax.random.PRNGKey(5)
+    a = ransac_round(key, m, g, g.valid, cfg)
+    b = ransac_round(key, m, g, g.valid,
+                     dataclasses.replace(cfg, fixed_refine_loop=True))
+    assert bool(a.found) == bool(b.found)
+    np.testing.assert_array_equal(np.asarray(a.inliers),
+                                  np.asarray(b.inliers))
+    np.testing.assert_allclose(np.asarray(a.R), np.asarray(b.R), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.T), np.asarray(b.T), atol=1e-6)
+
+
+def test_continuation_budget_keeps_contract(rng):
+    """Budget-split multi-instance rounds: round 1 results identical to the
+    full-budget path (same key), later instances still found at the lean
+    budget, and every accepted pose keeps the acceptance contract."""
+    import dataclasses
+
+    # reuse the two-instance scene from test_multi_instance_detection
+    model = rng.uniform(-0.1, 0.1, (40, 3)).astype(np.float32)
+    q_pts, t_pts, q_idx, q_xy, poses = [], [], [], [], []
+    for k, offset in enumerate([(-0.25, 0.0, 0.8), (0.25, 0.1, 1.0)]):
+        R = _random_rotation(rng)
+        T = np.asarray(offset, np.float32)
+        poses.append((R, T))
+        q_pts.append(model @ R.T + T)
+        t_pts.append(model)
+        q_idx.append(np.arange(k * 40, (k + 1) * 40))
+        q_xy.append(rng.uniform(40 + 300 * k, 250 + 300 * k,
+                                (40, 2)).astype(np.float32))
+    m = ObjectMatches(
+        query_pts=jnp.asarray(np.concatenate(q_pts)),
+        train_pts=jnp.asarray(np.concatenate(t_pts)),
+        query_idx=jnp.asarray(np.concatenate(q_idx), jnp.int32),
+        query_xy=jnp.asarray(np.concatenate(q_xy)),
+        valid=jnp.ones(80, bool),
+    )
+    span = float(np.sqrt(((model.max(0) - model.min(0)) ** 2).sum()))
+    g = fill_adjacency(m, jnp.float32(span), 0.01)
+    full = RansacConfig(n_hypotheses=512, min_inliers=8, max_instances=4)
+    split = dataclasses.replace(full, continuation_hypotheses=128)
+    key = jax.random.PRNGKey(4)
+    d_full = detect_object_instances(key, m, g, full)
+    d_split = detect_object_instances(key, m, g, split)
+    # round 1 is bit-identical (same budget, same key)
+    np.testing.assert_allclose(np.asarray(d_full.T)[0],
+                               np.asarray(d_split.T)[0], atol=1e-6)
+    # both instances still found under the split budget
+    acc = np.asarray(d_split.accepted)
+    assert acc.sum() == 2
+    got_ts = np.asarray(d_split.T)[acc]
+    want_ts = np.stack([T for _, T in poses])
+    d = np.linalg.norm(got_ts[:, None] - want_ts[None], axis=-1)
+    assert (d.min(axis=1) < 5e-3).all()
+    assert set(d.argmin(axis=1)) == {0, 1}
+    # contract: accepted poses carry >= min_inliers unique keypoints
+    assert (np.asarray(d_split.n_inliers)[acc] >= 8).all()

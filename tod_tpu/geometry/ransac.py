@@ -72,6 +72,21 @@ class RansacConfig:
     # junk into the estimate; acceptance counting is unchanged (still the
     # grown set) — only the reported pose sharpens.
     tight_final_fit: bool = False
+    # Hypothesis budget for instance rounds AFTER the first (0 = same as
+    # n_hypotheses). The first round carries the full search; continuation
+    # rounds only need to (a) find additional instances among the matches
+    # the first round left valid and (b) retry a noisy miss — both need far
+    # fewer draws. The acceptance contract (min_inliers unique keypoints +
+    # clique certificate) is unchanged; this trims the reference's
+    # pay-full-price-every-round shape (GuessGenerator.cpp:192-231) that the
+    # round-2 profile identified as the top geometry cost.
+    continuation_hypotheses: int = 0
+    # Use a fixed-trip masked refinement loop instead of lax.while_loop.
+    # Identical results (the while_loop is bounded by max_refine_iters and
+    # the body is idempotent once converged); the static trip count is what
+    # vmapped/batched serving needs — while_loop under vmap is the measured
+    # lane-stall + pathological-compile source (PROGRESS.md round 2).
+    fixed_refine_loop: bool = False
 
 
 class RansacRound(NamedTuple):
@@ -258,8 +273,20 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
 
     init = (r0, t0, best_inliers, jnp.float32(sigma * sigma),
             jnp.asarray(False), jnp.asarray(False), jnp.int32(0))
-    r_f, t_f, inl_f, _, _, _, _ = jax.lax.while_loop(
-        refine_cond, refine_body, init)
+    if cfg.fixed_refine_loop:
+        # static-trip masked equivalent of the while_loop: each trip computes
+        # the update but keeps the old state once the exit condition held
+        def refine_fori(_, state):
+            new = refine_body(state)
+            stop = ~refine_cond(state)
+            return jax.tree.map(lambda a, b: jnp.where(stop, a, b),
+                                state, new)
+
+        r_f, t_f, inl_f, _, _, _, _ = jax.lax.fori_loop(
+            0, cfg.max_refine_iters, refine_fori, init)
+    else:
+        r_f, t_f, inl_f, _, _, _, _ = jax.lax.while_loop(
+            refine_cond, refine_body, init)
 
     if cfg.tight_final_fit:
         res_t = ((apply_rt(r_f, t_f, q) - t) ** 2).sum(-1)
@@ -306,17 +333,31 @@ def detect_object_instances(key, matches: ObjectMatches,
     accepted pose still holds the reference's acceptance contract
     (>= min_inliers unique keypoints + clique certificate)."""
 
-    def step(valid, key_i):
-        round_ = ransac_round(key_i, matches, graphs, valid, cfg)
-        accept = round_.found & (round_.n_unique >= cfg.min_inliers)
-        valid_next = jnp.where(
-            accept,
-            invalidate_query_indices(valid, graphs.sample, matches.query_idx,
-                                     round_.inliers),
-            valid)
-        out = (round_.R, round_.T, round_.n_unique, accept)
-        return valid_next, out
+    def make_step(round_cfg):
+        def step(valid, key_i):
+            round_ = ransac_round(key_i, matches, graphs, valid, round_cfg)
+            accept = round_.found & (round_.n_unique >= cfg.min_inliers)
+            valid_next = jnp.where(
+                accept,
+                invalidate_query_indices(valid, graphs.sample,
+                                         matches.query_idx, round_.inliers),
+                valid)
+            out = (round_.R, round_.T, round_.n_unique, accept)
+            return valid_next, out
+
+        return step
 
     keys = jax.random.split(key, cfg.max_instances)
-    _, (rs, ts, counts, accepted) = jax.lax.scan(step, graphs.valid, keys)
+    cont = cfg.continuation_hypotheses
+    if cont and cont < cfg.n_hypotheses and cfg.max_instances > 1:
+        # full budget for the first round, lean budget for continuations
+        valid1, out1 = make_step(cfg)(graphs.valid, keys[0])
+        cont_cfg = dataclasses.replace(cfg, n_hypotheses=cont)
+        _, out_rest = jax.lax.scan(make_step(cont_cfg), valid1, keys[1:])
+        rs, ts, counts, accepted = (
+            jnp.concatenate([a[None], b])
+            for a, b in zip(out1, out_rest))
+    else:
+        _, (rs, ts, counts, accepted) = jax.lax.scan(
+            make_step(cfg), graphs.valid, keys)
     return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted)

@@ -358,7 +358,16 @@ class FusedDetector:
 
     @functools.lru_cache(maxsize=2)
     def _batched_stages(self):
-        cfg = self.config
+        # batched serving runs the geometry under vmap, where the refinement
+        # while_loop is the measured lane-stall + pathological-compile source
+        # (round-2: 19-minute compiles); the masked fixed-trip form is
+        # result-identical and compiles like any static loop
+        cfg = dataclasses.replace(
+            self.config,
+            guess=dataclasses.replace(
+                self.config.guess,
+                ransac=dataclasses.replace(self.config.guess.ransac,
+                                           fixed_refine_loop=True)))
         if self.segmented:
             s1 = jax.jit(jax.vmap(
                 functools.partial(_stage_features_compact, cfg=cfg)))

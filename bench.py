@@ -84,10 +84,13 @@ def build_db(n_objects: int, seed: int = 0):
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache"))
     dedup = int(os.environ.get("BENCH_DEDUP", "8"))
+    subpixel = os.environ.get("BENCH_SUBPIXEL", "") == "1"
     cache = None
     if cache_dir:
+        sp = "_sp" if subpixel else ""
         cache = os.path.join(cache_dir,
-                             f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}.npz")
+                             f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}{sp}"
+                             ".npz")
         if os.path.exists(cache):
             from tod_tpu.db.models import TodModel
 
@@ -119,8 +122,8 @@ def build_db(n_objects: int, seed: int = 0):
             "trainer", object_id=obj.object_id,
             json_db=json.dumps({"type": "mem", "collection": "bench"}),
             json_feature_params=json.dumps(
-                {"type": "ORB", "n_features": 600}),
-            dedup_hamming=int(os.environ.get("BENCH_DEDUP", "8")))
+                {"type": "ORB", "n_features": 600, "subpixel": subpixel}),
+            dedup_hamming=dedup)
         trainer.process()
         # observations are only needed during this object's training;
         # dropping them keeps the 100-object DB build within host memory
@@ -246,6 +249,9 @@ def main():
 
     cfg = FusedDetectorConfig(
         n_features=n_features,
+        # both-sides sub-pixel A/B (BENCH_SUBPIXEL=1 trains AND detects with
+        # fractional keypoint coords; default off = reference-parity ints)
+        subpixel=os.environ.get("BENCH_SUBPIXEL", "") == "1",
         pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
         q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
         radius=float(os.environ.get("BENCH_RADIUS", "50")),

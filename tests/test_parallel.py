@@ -311,3 +311,84 @@ def test_sharded_object_top1_exact(devices8, rng):
     assert len(ids) == 8 and ids.count(None) == 1
     np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_1))
     np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_1))
+
+
+def test_serving_step_sharded_matches_single_device(devices8, rng):
+    """The one-program multi-chip segmented serving step (matching + tier-1
+    activation + tier-2 RANSAC, objects/actives over 'db', frames over
+    'data') equals detect_frame_segmented on one device over the same
+    shard-major object order."""
+    from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
+                                            detect_frame_segmented)
+    from tod_tpu.models.fused import FusedDetectorConfig
+    from tod_tpu.ops.pallas.segmented import pack_segmented
+    from tod_tpu.parallel import make_mesh, pack_segmented_sharded
+    from tod_tpu.parallel.segmented import serving_step_sharded
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    # 8 objects over 4 shards; give 3 of them real scene support
+    models = []
+    scene_qp, scene_xy, scene_dsc = [], [], []
+    for i in range(8):
+        n = 120 + 17 * i
+        desc = rng.integers(0, 256, (n, 32), np.uint8)
+        pts = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+        models.append(TodModel(f"o{i}", desc, pts))
+    q_n = 256
+    qp = np.full((2, q_n, 3), np.nan, np.float32)
+    xy = np.zeros((2, q_n, 2), np.float32)
+    dsc = rng.integers(0, 256, (2, q_n, 32), np.uint8)
+    ok = np.zeros((2, q_n), bool)
+    for f in range(2):
+        cursor = 0
+        for i in (0, 3, 5):                       # objects present in frame f
+            m = models[i]
+            take = 50
+            sel = rng.choice(m.n_points, take, replace=False)
+            Rg = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(Rg) < 0:
+                Rg[:, 0] *= -1
+            Tg = np.array([0.1 * i - 0.3, 0.05 * f, 0.8], np.float32)
+            qp[f, cursor:cursor + take] = m.points[sel] @ Rg.T + Tg
+            xy[f, cursor:cursor + take] = rng.uniform(30, 600, (take, 2))
+            dsc[f, cursor:cursor + take] = m.descriptors[sel]
+            ok[f, cursor:cursor + take] = True
+            cursor += take
+    cfg = FusedDetectorConfig(
+        pipeline="segmented", radius=60.0, q_cap=q_n,
+        activation=ActivationConfig(m_cap=64, n_hypotheses=64,
+                                    object_batch=2),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
+                                max_instances=2),
+            max_matches_per_object=64, max_active_objects=4,
+            object_batch=2))
+
+    stacked, ids = pack_segmented_sharded(models, n_shards=4, db_chunk=2048)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    with mesh:
+        fn = serving_step_sharded(mesh, cfg)
+        det_s = fn(keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
+                   jnp.asarray(dsc), stacked)
+
+    # single-device reference over the SAME shard-major object order
+    by_id = {m.object_id: m for m in models}
+    ordered = [by_id[i] for i in ids]   # 8 objects over 4 shards: no pads
+    db1 = pack_segmented(ordered, db_chunk=2048)
+    for f in range(2):
+        from tod_tpu.ops.pallas.segmented import object_top1
+
+        d1, r1 = object_top1(jnp.asarray(dsc[f]), db1, db_chunk=2048)
+        _, det_1 = jax.jit(detect_frame_segmented, static_argnums=(9, 10, 11))(
+            keys[f], d1, r1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
+            jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
+            cfg.guess, cfg.activation, cfg.radius)
+        np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
+                                      np.asarray(det_1.accepted))
+        acc = np.asarray(det_1.accepted)
+        np.testing.assert_allclose(np.asarray(det_s.T[f])[acc],
+                                   np.asarray(det_1.T)[acc], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(det_s.n_inliers[f]),
+                                      np.asarray(det_1.n_inliers))
+    # sanity: the planted objects are actually detected
+    assert np.asarray(det_s.accepted).any()

@@ -74,8 +74,11 @@ def prune_low_degree(sample: jax.Array, valid: jax.Array,
         new_valid = valid & (deg >= min_degree)
         return new_valid, (new_valid != valid).any(), it + 1
 
+    # the initial `changed` flag derives from `valid` so its varying-manual-
+    # axes type matches the body output under shard_map (check_vma)
+    changed0 = valid.any() | True
     valid, _, _ = jax.lax.while_loop(
-        cond, body, (valid, jnp.asarray(True), jnp.int32(0)))
+        cond, body, (valid, changed0, jnp.int32(0)))
     return valid
 
 

@@ -160,8 +160,10 @@ def _greedy_clique_size(adj: jax.Array, cand: jax.Array, need: int) -> jax.Array
         cand = cand & adj[pick]
         return cand, size
 
-    _, size = jax.lax.fori_loop(
-        0, need, body, (cand, jnp.zeros(cand.shape[0], jnp.int32)))
+    # size-0 init derived from `cand` so its varying-manual-axes type matches
+    # the body output under shard_map (check_vma)
+    size0 = cand[:, 0].astype(jnp.int32) * 0
+    _, size = jax.lax.fori_loop(0, need, body, (cand, size0))
     return size
 
 
@@ -271,8 +273,11 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
         do_final_n = do_final | no_extra
         return r_n, t_n, inl_n, thresh_n, do_final_n, done, it + 1
 
-    init = (r0, t0, best_inliers, jnp.float32(sigma * sigma),
-            jnp.asarray(False), jnp.asarray(False), jnp.int32(0))
+    # thresh/flag inits derive from varying values so their varying-manual-
+    # axes types match the body outputs under shard_map (check_vma)
+    false0 = best_inliers.any() & False
+    init = (r0, t0, best_inliers, jnp.float32(sigma * sigma) + 0.0 * t0[0],
+            false0, false0, jnp.int32(0))
     if cfg.fixed_refine_loop:
         # static-trip masked equivalent of the while_loop: each trip computes
         # the update but keeps the old state once the exit condition held

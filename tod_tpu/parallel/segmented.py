@@ -85,6 +85,143 @@ def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
     return stacked, ids
 
 
+def serving_step_sharded(mesh: Mesh, cfg):
+    """The multi-chip segmented SERVING step (VERDICT r2 item 6): one
+    shard_map program covering matching + tier-1 activation + tier-2
+    certified RANSAC.
+
+    Layout over the ('data', 'db') mesh:
+      * frames (and their compacted queries) sharded over 'data';
+      * matcher operands (the heavy descriptor bit-planes of the stacked
+        SegmentedDb) sharded by OBJECT over 'db' — each device matches its
+        own object subset, one all_gather assembles the (Q, O_total) result;
+      * tier-1 activation object-sharded over 'db': each device presence-
+        scores its own objects (the per-object lean RANSAC is the expensive
+        part); scores all_gather over ICI, global top-k picks the actives;
+      * tier-2 active-set sharded over 'db': each device runs the certified
+        multi-instance RANSAC on n_active/n_db of the activated objects
+        against REPLICATED lightweight geometry arrays (points are 12 B/row
+        vs 288 B/row for the matcher bit-planes, so replicating them is the
+        right trade), then detections all_gather + scatter to the full
+        object axis.
+
+    Exactness: bitwise-identical to detect_frame_segmented on a single
+    device over the same shard-major object order (parity test in
+    tests/test_parallel.py).
+
+    ``cfg``: FusedDetectorConfig with pipeline="segmented". Returns a jitted
+    ``fn(keys (B,), xy (B,Qp,2), qp (B,Qp,3), ok (B,Qp), dsc (B,Qp,32),
+    sdb_stacked) -> ObjectDetections (B, O_total, I, ...)`` requiring B
+    divisible by n_data and min(max_active_objects, O_total) divisible by
+    n_db.
+    """
+    from tod_tpu.geometry.adjacency import fill_adjacency
+    from tod_tpu.geometry.detection import (build_object_stores,
+                                            scatter_detections)
+    from tod_tpu.geometry.ransac import (ObjectDetections,
+                                         detect_object_instances,
+                                         presence_score)
+
+    act = cfg.activation
+    guess = cfg.guess
+    n_db = mesh.shape["db"]
+
+    def local(keys, xy, qp, ok, dsc, sdb_st):
+        sdb = jax.tree.map(lambda x: x[0], sdb_st)       # this device's shard
+        s = jax.lax.axis_index("db")
+        o_local = sdb.spans.shape[0]
+        r_shard = sdb.points.shape[0]
+        n_objects = o_local * n_db
+        n_active = min(guess.max_active_objects, n_objects)
+        assert n_active % n_db == 0, \
+            f"max_active_objects ({n_active}) must divide by n_db ({n_db})"
+        per_dev = n_active // n_db
+
+        # replicated full-DB geometry (shard-major object order); global row
+        # of (shard s, local row r) = s * r_shard + r
+        points_full = jax.lax.all_gather(sdb.points, "db", axis=0, tiled=True)
+        obj_start_full = jax.lax.all_gather(sdb.obj_start + s * r_shard,
+                                            "db", axis=0, tiled=True)
+        spans_full = jax.lax.all_gather(sdb.spans, "db", axis=0, tiled=True)
+
+        def per_frame(key, xy_f, qp_f, ok_f, dsc_f):
+            d_loc, r_loc = object_top1(dsc_f, sdb, vary=("data", "db"))
+            d = jax.lax.all_gather(d_loc, "db", axis=1, tiled=True)  # (Q, O)
+            r = jax.lax.all_gather(r_loc, "db", axis=1, tiled=True)
+            key_act, key_det = jax.random.split(key)
+            level = jnp.median(d, axis=1)
+
+            # ---- tier 1 on THIS device's objects --------------------------
+            keys1 = jax.lax.dynamic_slice_in_dim(
+                jax.random.split(key_act, n_objects), s * o_local, o_local)
+            local_ids = s * o_local + jnp.arange(o_local, dtype=jnp.int32)
+
+            def tier1(args):
+                key_o, o = args
+                m = build_object_stores(d, r, ok_f, qp_f, xy_f, points_full,
+                                        obj_start_full, o[None], act.m_cap,
+                                        cfg.radius, level)
+                m = jax.tree.map(lambda x: x[0], m)
+                graphs = fill_adjacency(m, spans_full[o], guess.sensor_error)
+                return presence_score(key_o, m, graphs, act.n_hypotheses,
+                                      guess.sensor_error)
+
+            scores_loc = jax.lax.map(
+                tier1, (keys1, local_ids),
+                batch_size=min(act.object_batch, max(o_local, 1)))
+            scores = jax.lax.all_gather(scores_loc, "db", axis=0, tiled=True)
+
+            top_scores, active = jax.lax.top_k(scores, n_active)
+            active = jnp.where(top_scores >= act.min_score, active, -1)
+
+            # ---- tier 2 on THIS device's slice of the active set ----------
+            my_active = jax.lax.dynamic_slice_in_dim(active, s * per_dev,
+                                                     per_dev)
+            stores = build_object_stores(d, r, ok_f, qp_f, xy_f, points_full,
+                                         obj_start_full, my_active,
+                                         guess.max_matches_per_object,
+                                         cfg.radius, level)
+            act_spans = spans_full[jnp.maximum(my_active, 0)]
+            keys2 = jax.lax.dynamic_slice_in_dim(
+                jax.random.split(key_det, n_active), s * per_dev, per_dev)
+
+            def per_object(args):
+                key_o, m, span = args
+                graphs = fill_adjacency(m, span, guess.sensor_error)
+                return detect_object_instances(key_o, m, graphs, guess.ransac)
+
+            det = jax.lax.map(
+                per_object, (keys2, stores, act_spans),
+                batch_size=min(guess.object_batch, max(per_dev, 1)))
+            det = ObjectDetections(
+                R=det.R, T=det.T, n_inliers=det.n_inliers,
+                accepted=det.accepted & (my_active >= 0)[:, None])
+            det_all = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "db", axis=0, tiled=True),
+                det)
+            return scatter_detections(det_all, active, n_objects)
+
+        det = jax.vmap(per_frame)(keys, xy, qp, ok, dsc)
+        # all 'db' devices now hold identical values; replicate type-safely
+        first = (jax.lax.axis_index("db") == 0)
+
+        def repl(x):
+            if x.dtype == jnp.bool_:
+                return jax.lax.psum(
+                    jnp.where(first, x.astype(jnp.int32), 0), "db") > 0
+            return jax.lax.psum(jnp.where(first, x, jnp.zeros_like(x)), "db")
+
+        return jax.tree.map(repl, det)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                  P("db")),
+        out_specs=jax.tree.map(lambda _: P("data"),
+                               ObjectDetections(0, 0, 0, 0)))
+    return jax.jit(fn)
+
+
 def sharded_object_top1(mesh: Mesh, query_u8: jax.Array,
                         sdb_stacked: SegmentedDb
                         ) -> Tuple[jax.Array, jax.Array]:

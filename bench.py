@@ -65,9 +65,9 @@ def build_db(n_objects: int, seed: int = 0):
                                          SyntheticObject,
                                          turntable_observations)
 
-    # BENCH_SHAPES=plane (default, rounds-1/2-comparable) or mixed
-    # (plane/box/cylinder cycling — the reference's actual 3D domain)
-    shapes = os.environ.get("BENCH_SHAPES", "plane")
+    # BENCH_SHAPES=mixed (default: plane/box/cylinder cycling — the
+    # reference's actual 3D domain) or plane (rounds-1/2-comparable)
+    shapes = os.environ.get("BENCH_SHAPES", "mixed")
 
     def make_obj(i: int):
         oid = f"obj{i:03d}"
@@ -417,7 +417,7 @@ def main():
         "recall_at_2cm": round(recall, 4),
         "latency_ms_p50": round(float(lat_p50), 2),
         "latency_ms_p95": round(float(lat_p95), 2),
-        "shapes": os.environ.get("BENCH_SHAPES", "plane"),
+        "shapes": os.environ.get("BENCH_SHAPES", "mixed"),
     }
     # reference-semantics CPU baseline over the same workload, if the oracle
     # bench has been run (tools/bench_oracle.py; VERDICT r2 item 1)
@@ -426,7 +426,8 @@ def main():
     if os.path.exists(oracle_path):
         with open(oracle_path) as f:
             oracle = json.load(f)
-        if oracle.get("n_objects") == n_objects:
+        if (oracle.get("n_objects") == n_objects
+                and oracle.get("shapes", "plane") == out["shapes"]):
             out["oracle_recall_at_2cm"] = oracle.get("recall_at_2cm")
             out["oracle_cpu_fps"] = oracle.get("cpu_fps")
     print(json.dumps(out), flush=True)

@@ -31,7 +31,7 @@ from tests.cv_oracle import (backproject, detect_object, match_radius,  # noqa: 
                              orb, train_object)
 
 
-def build_oracle_db(objects, cache_dir):
+def build_oracle_db(objects, cache_dir, shapes="plane"):
     """Train every bench object through the ORACLE trainer (cv2.ORB on the
     eroded mask + depth validation + camera->world stacking — the reference
     semantics end to end). The oracle CANNOT reuse the tod_tpu-trained
@@ -42,7 +42,8 @@ def build_oracle_db(objects, cache_dir):
 
     cache = None
     if cache_dir:
-        cache = os.path.join(cache_dir, f"oracle_db_n{len(objects)}.npz")
+        cache = os.path.join(cache_dir,
+                             f"oracle_db_n{len(objects)}_{shapes}.npz")
         if os.path.exists(cache):
             data = np.load(cache)
             out = [(data[f"d{i}"], data[f"p{i}"])
@@ -76,7 +77,7 @@ def main():
 
     import bench
 
-    shapes = os.environ.get("BENCH_SHAPES", "plane")
+    shapes = os.environ.get("BENCH_SHAPES", "mixed")
     cache_dir = os.environ.get(
         "BENCH_DB_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
@@ -99,7 +100,7 @@ def main():
     objects = [make_obj(i) for i in range(n_objects)]
     scenes = bench.build_scenes(objects, n_scenes)
 
-    trained = build_oracle_db(objects, cache_dir)
+    trained = build_oracle_db(objects, cache_dir, shapes=shapes)
     db = np.concatenate([d for d, _ in trained])
     pts = np.concatenate([p for _, p in trained]).astype(np.float32)
     obj_of_row = np.concatenate([np.full(len(d), i, np.int32)
@@ -173,6 +174,7 @@ def main():
         "n_features": n_features,
         "radius": radius,
         "k": k,
+        "shapes": shapes,
     }
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     with open(os.path.join(root, "ORACLE_BENCH.json"), "w") as f:

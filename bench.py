@@ -148,14 +148,31 @@ def build_db(n_objects: int, seed: int = 0):
     return objects, models
 
 
+# sensor-noise presets for BENCH_NOISE (applied identically to both engines
+# via build_scenes; see tod_tpu.utils.synthetic.degrade_frame)
+NOISE_PRESETS = {
+    "kinect": dict(rgb_sigma=6.0, depth_sigma_mm=3.0, depth_dropout=0.05,
+                   n_occluders=0),
+    "hard": dict(rgb_sigma=10.0, depth_sigma_mm=5.0, depth_dropout=0.10,
+                 n_occluders=2),
+}
+
+
 def build_scenes(objects, n_scenes: int):
     """The bench's detection workload: ``n_scenes`` scenes of 3 objects each,
     cycling through the whole object set (shared by bench.py and
     tools/bench_oracle.py so both engines score the SAME placements).
+    BENCH_NOISE=kinect|hard degrades every frame with the structured-light
+    sensor model (same frames for both engines; clean by default).
     Returns [(image, depth_u16, [(object_id, R, T), ...]), ...]."""
     from tod_tpu.utils.synthetic import (SyntheticObject, compose_scene,
-                                         facing_pose, presenting_pose)
+                                         degrade_frame, facing_pose,
+                                         presenting_pose)
 
+    noise = os.environ.get("BENCH_NOISE", "")
+    if noise and noise not in NOISE_PRESETS:
+        raise SystemExit(f"unknown BENCH_NOISE={noise!r}; "
+                         f"options: {sorted(NOISE_PRESETS)}")
     rng = np.random.default_rng(7)
     scenes = []
     for s in range(n_scenes):
@@ -169,6 +186,10 @@ def build_scenes(objects, n_scenes: int):
         poses[1][1][0] = 0.02
         poses[2][1][0] = 0.24
         image, depth = compose_scene(trio, poses)
+        if noise:
+            image, depth = degrade_frame(
+                image, depth, np.random.default_rng(1000 + s),
+                **NOISE_PRESETS[noise])
         gt = [(o.object_id, R, T) for o, (R, T) in zip(trio, poses)]
         scenes.append((image, depth, gt))
     return scenes
@@ -254,6 +275,11 @@ def main():
         subpixel=os.environ.get("BENCH_SUBPIXEL", "") == "1",
         pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
         q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
+        # BENCH_BUCKET=RxC (e.g. 6x8) enables spatially-bucketed q_cap
+        # compaction (clutter robustness; empty = plain response ranking)
+        bucket_grid=(tuple(int(v) for v in
+                           os.environ["BENCH_BUCKET"].split("x"))
+                     if os.environ.get("BENCH_BUCKET") else None),
         radius=float(os.environ.get("BENCH_RADIUS", "50")),
         k_matches=int(os.environ.get("BENCH_K", "8")),
         activation=ActivationConfig(
@@ -419,6 +445,8 @@ def main():
         "latency_ms_p95": round(float(lat_p95), 2),
         "shapes": os.environ.get("BENCH_SHAPES", "mixed"),
     }
+    if os.environ.get("BENCH_NOISE"):
+        out["noise"] = os.environ["BENCH_NOISE"]
     # reference-semantics CPU baseline over the same workload, if the oracle
     # bench has been run (tools/bench_oracle.py; VERDICT r2 item 1)
     oracle_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -427,7 +455,9 @@ def main():
         with open(oracle_path) as f:
             oracle = json.load(f)
         if (oracle.get("n_objects") == n_objects
-                and oracle.get("shapes", "plane") == out["shapes"]):
+                and oracle.get("shapes", "plane") == out["shapes"]
+                and oracle.get("noise", "") ==
+                os.environ.get("BENCH_NOISE", "")):
             out["oracle_recall_at_2cm"] = oracle.get("recall_at_2cm")
             out["oracle_cpu_fps"] = oracle.get("cpu_fps")
     print(json.dumps(out), flush=True)

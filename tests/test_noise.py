@@ -1,0 +1,188 @@
+"""Sensor-noise robustness: detection on degraded RGB-D frames.
+
+The reference consumes live Kinect streams (conf/detection.ros.ork
+topics), whose frames carry quantization + axial depth noise, speckle
+dropout, and scene clutter — never the clean renders the planar suite
+uses. ``degrade_frame`` models that sensor (additive RGB noise, z^2
+axial depth noise per Khoshelham & Elberink 2012, speckle dropout,
+textured occluders); these tests pin the model's statistics and prove
+the segmented pipeline still localizes under it.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
+from tod_tpu.models import FusedDetector, FusedDetectorConfig, TodTrainer
+from tod_tpu.geometry.detection import ActivationConfig, GuessConfig
+from tod_tpu.geometry.ransac import RansacConfig
+from tod_tpu.utils.synthetic import (
+    DEFAULT_K,
+    SyntheticBox,
+    SyntheticObject,
+    compose_scene,
+    degrade_frame,
+    facing_pose,
+    presenting_pose,
+    turntable_observations,
+)
+
+DB_JSON = json.dumps({"type": "mem", "collection": "tnoise"})
+
+
+def _make_objects():
+    return [SyntheticObject.make("plane_n", 31), SyntheticBox.make("box_n", 32)]
+
+
+@pytest.fixture(scope="module")
+def trained_noise():
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("tnoise")
+    objects = _make_objects()
+    for obj in objects:
+        for obs in turntable_observations(obj, n_views=10,
+                                          elevations_deg=(65.0, 35.0)):
+            insert_observation(db, obj.object_id, obs["frame_number"],
+                               obs["image"], obs["depth"], obs["mask"],
+                               obs["K"], obs["R"], obs["T"])
+        TodTrainer("trainer", object_id=obj.object_id, json_db=DB_JSON,
+                   json_feature_params=json.dumps(
+                       {"type": "ORB", "n_features": 800})).process()
+    yield objects, db
+    InMemoryDb.reset_shared()
+
+
+def test_degrade_frame_statistics():
+    """The noise model does what it documents: RGB sigma, z^2-scaled depth
+    sigma on valid pixels only, dropout fraction, and determinism."""
+    rng = np.random.default_rng(5)
+    image = np.full((240, 320, 3), 128, np.uint8)
+    depth = np.full((240, 320), 800, np.uint16)      # 0.8 m everywhere
+    depth[:20] = 0                                   # an invalid band
+    img1, d1 = degrade_frame(image, depth, np.random.default_rng(1),
+                             rgb_sigma=6.0, depth_sigma_mm=3.0,
+                             depth_dropout=0.05)
+    img2, d2 = degrade_frame(image, depth, np.random.default_rng(1),
+                             rgb_sigma=6.0, depth_sigma_mm=3.0,
+                             depth_dropout=0.05)
+    assert np.array_equal(img1, img2) and np.array_equal(d1, d2)
+
+    # RGB: zero-mean, ~6 grey levels, identical across channels
+    res = img1.astype(np.float32) - 128.0
+    assert abs(res.mean()) < 0.5
+    assert 5.0 < res[..., 0].std() < 7.0
+    assert np.array_equal(img1[..., 0], img1[..., 1])
+
+    # depth: invalid stays invalid; valid pixels ~N(800, 3*0.8^2 mm)
+    assert (d1[:20] == 0).all()
+    body = d1[20:][d1[20:] > 0].astype(np.float32)
+    assert abs(body.mean() - 800.0) < 0.5
+    assert 1.3 < body.std() < 2.6          # 3 * 0.64 = 1.92 mm
+    drop = (d1[20:] == 0).mean()
+    assert 0.03 < drop < 0.07
+
+    # z^2 law: doubling the range quadruples sigma
+    far = np.full((240, 320), 1600, np.uint16)
+    _, df = degrade_frame(image, far, np.random.default_rng(2),
+                          rgb_sigma=0.0, depth_sigma_mm=3.0,
+                          depth_dropout=0.0)
+    assert 6.0 < df[df > 0].astype(np.float32).std() < 9.5   # 7.68 mm
+
+
+def test_degrade_frame_occluders():
+    """Occluders overwrite both image and depth with a nearer surface."""
+    image = np.zeros((240, 320, 3), np.uint8)
+    depth = np.full((240, 320), 900, np.uint16)
+    img, d = degrade_frame(image, depth, np.random.default_rng(3),
+                           rgb_sigma=0.0, depth_sigma_mm=0.0,
+                           depth_dropout=0.0, n_occluders=2)
+    occ = d != 900
+    assert occ.sum() > 60 * 60, "occluders missing"
+    assert (d[occ] >= 400).all() and (d[occ] <= 550).all()
+    assert img[occ].std() > 10, "occluders must be textured"
+
+
+def test_segmented_detection_under_kinect_noise(trained_noise):
+    """Both objects localize within 2 cm on a kinect-degraded scene — the
+    bench's BENCH_NOISE=kinect operating point."""
+    objects, db = trained_noise
+    models = load_models_for_objects(db, "all")
+    rng = np.random.default_rng(11)
+    poses = [facing_pose(rng, z=0.7), presenting_pose(rng, z=0.85)]
+    poses[0][1][0] = -0.12
+    poses[1][1][0] = 0.14
+    image, depth = compose_scene(objects, poses)
+    image, depth = degrade_frame(image, depth, np.random.default_rng(21),
+                                 rgb_sigma=6.0, depth_sigma_mm=3.0,
+                                 depth_dropout=0.05)
+
+    cfg = FusedDetectorConfig(
+        n_features=2000, pipeline="segmented", q_cap=1024, radius=50.0,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=512, min_inliers=8,
+                                sensor_error=0.01, max_instances=2,
+                                tight_final_fit=True),
+            max_matches_per_object=256, max_active_objects=2))
+    det = FusedDetector(models, cfg)
+    results = det.detect(image, depth, DEFAULT_K)
+    for obj, (gt_R, gt_T) in zip(objects, poses):
+        mine = [r for r in results if r.object_id == obj.object_id]
+        assert mine, f"{obj.object_id} not detected under kinect noise"
+        best = max(mine, key=lambda r: r.confidence)
+        dt = np.linalg.norm(best.T - gt_T)
+        assert dt < 0.02, f"{obj.object_id}: dt {dt * 1000:.1f} mm"
+
+
+def test_bucketed_scores_round_robin():
+    """Unit contract of ``bucketed_scores``: with a crowded cell and a
+    sparse cell, a top-k cut takes every cell's best corners before the
+    crowded cell's depth — and non-finite keypoints never surface."""
+    import jax.numpy as jnp
+    from tod_tpu.models.fused import bucketed_scores
+
+    # 6 corners in the left half-cell (high response), 2 on the right
+    # (low response), 1 invalid. Grid (1, 2) -> two cells.
+    xy = jnp.array([[10.0, 10.0], [12, 10], [14, 10], [16, 10], [18, 10],
+                    [20, 10], [90, 10], [92, 10], [94, 10]])
+    resp = jnp.array([9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 2.0, 1.0, 99.0])
+    finite = jnp.array([True] * 8 + [False])
+    s = bucketed_scores(xy, resp, finite, (20, 100), (1, 2))
+    order = list(np.argsort(-np.asarray(s)))
+    top4 = set(order[:4])
+    # rank-0 of each cell (0 and 6) and rank-1 of each (1 and 7) first
+    assert top4 == {0, 1, 6, 7}, order
+    assert order[-1] == 8, "invalid keypoint must sort last"
+
+
+def test_segmented_detection_survives_occluder(trained_noise):
+    """Textured occluder patches are corner-rich clutter that crowds scene
+    objects out of a plain response-ranked q_cap compaction (measured:
+    746 -> 308 on-object keypoints of 1024 kept). Bucketed compaction
+    (``bucket_grid``) restores localization of the fully-visible object."""
+    objects, db = trained_noise
+    models = load_models_for_objects(db, "all")
+    rng = np.random.default_rng(13)
+    pose = facing_pose(rng, z=0.7)
+    image, depth = compose_scene([objects[0]], [pose])
+    image, depth = degrade_frame(image, depth, np.random.default_rng(23),
+                                 rgb_sigma=6.0, depth_sigma_mm=3.0,
+                                 depth_dropout=0.05, n_occluders=2)
+
+    cfg = FusedDetectorConfig(
+        n_features=2000, pipeline="segmented", q_cap=1024, radius=50.0,
+        bucket_grid=(6, 8),
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=512, min_inliers=8,
+                                sensor_error=0.01, max_instances=2,
+                                tight_final_fit=True),
+            max_matches_per_object=256, max_active_objects=2))
+    det = FusedDetector(models, cfg)
+    results = det.detect(image, depth, DEFAULT_K)
+    mine = [r for r in results if r.object_id == objects[0].object_id]
+    assert mine, "object not detected with occluders present"
+    best = max(mine, key=lambda r: r.confidence)
+    assert np.linalg.norm(best.T - pose[1]) < 0.02

@@ -65,6 +65,16 @@ class FusedDetectorConfig:
     pipeline: str = "global"    # "global" | "segmented"
     q_cap: int = 2048           # segmented: matched-keypoint budget (queries
                                 # prioritized by valid 3D + response)
+    bucket_grid: Optional[Tuple[int, int]] = None
+                                # segmented: spatially-bucketed q_cap
+                                # compaction — split the frame into
+                                # (rows, cols) cells and keep corners
+                                # round-robin by within-cell response rank,
+                                # so corner-rich clutter (textured
+                                # occluders) cannot starve scene objects
+                                # of the query budget. None = plain global
+                                # response ranking (the reference's cv2
+                                # retainBest semantics, orb.cpp).
     activation: ActivationConfig = ActivationConfig()
 
     def use_pallas(self) -> bool:
@@ -251,6 +261,34 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def bucketed_scores(xy, response, finite, hw, grid):
+    """Spatially-bucketed compaction scores: order corners by within-cell
+    response rank first (cell round-robin), response second. Every cell's
+    best corners survive a top-k cut before ANY cell's (r+1)-th, so
+    localized corner-rich clutter (textured occluders) cannot monopolize
+    the query budget. Returns per-keypoint selection scores whose
+    descending order is (rank asc, response desc); non-finite keypoints
+    get -inf."""
+    gh, gw = grid
+    h, w = hw
+    cy = jnp.clip((xy[:, 1] * gh) // h, 0, gh - 1)
+    cx = jnp.clip((xy[:, 0] * gw) // w, 0, gw - 1)
+    cell = (cy * gw + cx).astype(jnp.int32)
+    base = jnp.where(finite, response, -jnp.inf)
+    order = jnp.lexsort((-base, cell))        # cell asc, response desc
+    n = base.shape[0]
+    pos = jnp.arange(n)
+    sc = cell[order]
+    is_start = jnp.concatenate([jnp.ones(1, bool), sc[1:] != sc[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    rank = jnp.zeros(n, jnp.int32).at[order].set(
+        (pos - seg_start).astype(jnp.int32))
+    resp01 = jnp.clip(
+        response / (jnp.max(jnp.where(finite, response, 0.0)) + 1e-9),
+        0.0, 1.0)
+    return jnp.where(finite, resp01 - rank.astype(jnp.float32), -jnp.inf)
+
+
 def _stage_features_compact(gray, depth, K, cfg: FusedDetectorConfig):
     """Features + 3D + query compaction: keep the ``q_cap`` highest-response
     keypoints that have valid 3D (matching cost scales with queries, and
@@ -266,6 +304,9 @@ def _stage_features_compact(gray, depth, K, cfg: FusedDetectorConfig):
 
     k = min(cfg.q_cap, cfg.n_features)
     score = jnp.where(finite, kps.response, -jnp.inf)
+    if cfg.bucket_grid is not None:
+        score = bucketed_scores(kps.xy, kps.response, finite, gray.shape,
+                                cfg.bucket_grid)
     _, sel = jax.lax.top_k(score, k)
     ok = finite[sel]
     pad = _round_up(k, 512) - k

@@ -363,6 +363,61 @@ def compose_scene(objects: Sequence,
     return image, depth_u16
 
 
+def degrade_frame(image: np.ndarray, depth_u16: np.ndarray,
+                  rng: np.random.Generator, *,
+                  rgb_sigma: float = 6.0,
+                  depth_sigma_mm: float = 3.0,
+                  depth_dropout: float = 0.05,
+                  n_occluders: int = 0,
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Degrade a clean rendered RGB-D frame with a structured-light-sensor
+    noise model, for robustness evaluation (the reference's real inputs are
+    Kinect captures, not clean renders):
+
+    - RGB: additive Gaussian (``rgb_sigma`` grey levels) on the luminance,
+      identical across channels (the renderer is greyscale-replicated).
+    - Depth: additive Gaussian whose sigma grows quadratically with range —
+      ``depth_sigma_mm * z_m**2`` — the standard structured-light axial
+      noise law (Khoshelham & Elberink 2012); applied only to valid pixels.
+    - Speckle dropout: a ``depth_dropout`` fraction of valid depth pixels
+      set to 0 (invalid), as around specular/oblique surfaces.
+    - Occluders: ``n_occluders`` textured rectangles pasted at ~0.4-0.55 m,
+      in front of every bench object, occluding whatever is behind them.
+
+    Ground truth is unchanged: the degraded frame keeps the same object
+    poses. Deterministic given ``rng``."""
+    img = image.astype(np.float32)
+    if rgb_sigma > 0:
+        noise = rng.normal(0.0, rgb_sigma, img.shape[:2]).astype(np.float32)
+        img = img + noise[..., None]
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+    depth = depth_u16.astype(np.float32)
+    valid = depth > 0
+    if depth_sigma_mm > 0:
+        z_m = depth / 1000.0
+        sigma = depth_sigma_mm * z_m * z_m
+        depth = np.where(
+            valid, depth + rng.normal(size=depth.shape) * sigma, 0.0)
+    if depth_dropout > 0:
+        drop = rng.random(depth.shape) < depth_dropout
+        depth = np.where(drop, 0.0, depth)
+    depth_u16 = np.clip(np.round(depth), 0, 65535).astype(np.uint16)
+
+    for _ in range(n_occluders):
+        h, w = img.shape[:2]
+        ow = int(rng.integers(60, 140))
+        oh = int(rng.integers(60, 140))
+        x0 = int(rng.integers(0, w - ow))
+        y0 = int(rng.integers(0, h - oh))
+        z_occ = float(rng.uniform(0.40, 0.55))
+        tex = make_texture(int(rng.integers(1 << 30)), size=160)
+        patch = cv2.resize(tex, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        img[y0:y0 + oh, x0:x0 + ow] = patch[..., None]
+        depth_u16[y0:y0 + oh, x0:x0 + ow] = np.uint16(round(z_occ * 1000))
+    return img, depth_u16
+
+
 def presenting_pose(rng: np.random.Generator, z: float = 0.8,
                     max_tilt: float = 0.5,
                     xy_extent: float = 0.18) -> Tuple[np.ndarray, np.ndarray]:

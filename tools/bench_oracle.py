@@ -175,6 +175,7 @@ def main():
         "radius": radius,
         "k": k,
         "shapes": shapes,
+        "noise": os.environ.get("BENCH_NOISE", ""),
     }
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     with open(os.path.join(root, "ORACLE_BENCH.json"), "w") as f:

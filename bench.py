@@ -195,6 +195,45 @@ def build_scenes(objects, n_scenes: int):
     return scenes
 
 
+def build_config(n_features: int):
+    """The bench's serving operating point, overridable via BENCH_* env
+    knobs (shared with tools/diag_mixed.py so diagnosis sees exactly the
+    benched configuration)."""
+    from tod_tpu.geometry.detection import ActivationConfig, GuessConfig
+    from tod_tpu.geometry.ransac import RansacConfig
+    from tod_tpu.models import FusedDetectorConfig
+
+    return FusedDetectorConfig(
+        n_features=n_features,
+        # both-sides sub-pixel A/B (BENCH_SUBPIXEL=1 trains AND detects with
+        # fractional keypoint coords; default off = reference-parity ints)
+        subpixel=os.environ.get("BENCH_SUBPIXEL", "") == "1",
+        pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
+        q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
+        # BENCH_BUCKET=RxC (e.g. 6x8) enables spatially-bucketed q_cap
+        # compaction (clutter robustness; empty = plain response ranking)
+        bucket_grid=(tuple(int(v) for v in
+                           os.environ["BENCH_BUCKET"].split("x"))
+                     if os.environ.get("BENCH_BUCKET") else None),
+        radius=float(os.environ.get("BENCH_RADIUS", "50")),
+        k_matches=int(os.environ.get("BENCH_K", "8")),
+        activation=ActivationConfig(
+            m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
+            n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
+            object_batch=20),
+        guess=GuessConfig(
+            ransac=RansacConfig(
+                n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),
+                continuation_hypotheses=int(
+                    os.environ.get("BENCH_CONT", "192")),
+                min_inliers=8, max_instances=3, tight_final_fit=True),
+            # M=384 beats 512 on BOTH axes with margin-ordered caps (junk
+            # tail drops faster than correct): recall .917 @ 34 FPS
+            max_matches_per_object=int(os.environ.get("BENCH_M", "384")),
+            object_batch=8,
+            max_active_objects=int(os.environ.get("BENCH_ACTIVE", "16"))))
+
+
 def main():
     n_objects = int(os.environ.get("BENCH_OBJECTS", "100"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
@@ -203,9 +242,7 @@ def main():
     import jax
     log(f"devices: {wait_for_devices()}")
 
-    from tod_tpu.geometry.detection import GuessConfig
-    from tod_tpu.geometry.ransac import RansacConfig
-    from tod_tpu.models import FusedDetector, FusedDetectorConfig
+    from tod_tpu.models import FusedDetector
     from tod_tpu.utils.synthetic import DEFAULT_K
 
     objects, all_models = build_db(n_objects)
@@ -266,37 +303,7 @@ def main():
     # match-count activation is near-random on weakly-distinctive textures).
     # radius 50 per tools/exp_recall3.py; min_inliers 8 per
     # conf/detection.ork:41.
-    from tod_tpu.geometry.detection import ActivationConfig
-
-    cfg = FusedDetectorConfig(
-        n_features=n_features,
-        # both-sides sub-pixel A/B (BENCH_SUBPIXEL=1 trains AND detects with
-        # fractional keypoint coords; default off = reference-parity ints)
-        subpixel=os.environ.get("BENCH_SUBPIXEL", "") == "1",
-        pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
-        q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
-        # BENCH_BUCKET=RxC (e.g. 6x8) enables spatially-bucketed q_cap
-        # compaction (clutter robustness; empty = plain response ranking)
-        bucket_grid=(tuple(int(v) for v in
-                           os.environ["BENCH_BUCKET"].split("x"))
-                     if os.environ.get("BENCH_BUCKET") else None),
-        radius=float(os.environ.get("BENCH_RADIUS", "50")),
-        k_matches=int(os.environ.get("BENCH_K", "8")),
-        activation=ActivationConfig(
-            m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
-            n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
-            object_batch=20),
-        guess=GuessConfig(
-            ransac=RansacConfig(
-                n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),
-                continuation_hypotheses=int(
-                    os.environ.get("BENCH_CONT", "192")),
-                min_inliers=8, max_instances=3, tight_final_fit=True),
-            # M=384 beats 512 on BOTH axes with margin-ordered caps (junk
-            # tail drops faster than correct): recall .917 @ 34 FPS
-            max_matches_per_object=int(os.environ.get("BENCH_M", "384")),
-            object_batch=8,
-            max_active_objects=int(os.environ.get("BENCH_ACTIVE", "16"))))
+    cfg = build_config(n_features)
     det = FusedDetector(all_models, cfg)
 
     # pre-render scenes of 3 objects each, cycling through the whole DB so
@@ -314,11 +321,21 @@ def main():
     # (BASELINE.md tracked metric "pose recall@2cm")
     t0 = time.time()
     hits, misses, rot_errs = 0, [], []
+    n_accepted, n_true_pos = 0, 0
     for image, depth, gt in scenes:
         found = det.detect(image, depth, DEFAULT_K)
         by_id = {}
         for r in found:
             by_id.setdefault(r.object_id, []).append(r)
+        # precision: an accepted pose is TRUE iff within 2cm of a same-id
+        # ground-truth placement in this scene (recall alone hides junk
+        # poses a downstream grasp planner would act on)
+        n_accepted += len(found)
+        for r in found:
+            if any(oid == r.object_id
+                   and float(np.linalg.norm(r.T - gt_T)) <= 0.02
+                   for oid, _, gt_T in gt):
+                n_true_pos += 1
         for oid, gt_R, gt_T in gt:
             best, best_dt = None, 1e9
             for r in by_id.get(oid, []):
@@ -340,6 +357,9 @@ def main():
         if rot_errs else f"recall@2cm: {hits}/{n_placed}")
     if misses:
         log(f"missed placements: {misses}")
+    precision = n_true_pos / n_accepted if n_accepted else 0.0
+    log(f"precision: {n_true_pos}/{n_accepted} accepted poses within 2cm "
+        f"of a same-id placement = {precision:.3f}")
     log(f"(recall pass incl. compile: {time.time()-t0:.1f}s)")
 
     # batched throughput — OPT-IN (BENCH_BATCH>=2): streaming wins anyway
@@ -441,6 +461,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
         "recall_at_2cm": round(recall, 4),
+        "precision_at_2cm": round(precision, 4),
         "latency_ms_p50": round(float(lat_p50), 2),
         "latency_ms_p95": round(float(lat_p95), 2),
         "shapes": os.environ.get("BENCH_SHAPES", "mixed"),

@@ -157,6 +157,23 @@ def test_bucketed_scores_round_robin():
     assert order[-1] == 8, "invalid keypoint must sort last"
 
 
+def test_bucket_grid_wires_through_serving_cell(trained_noise):
+    """The `.ork` parameter `bucket_grid: '6x8'` reaches the underlying
+    FusedDetectorConfig through TodDetector's serving branch."""
+    from tod_tpu.cells.serving import SegmentedDetector, _parse_bucket_grid
+
+    assert _parse_bucket_grid("") is None
+    assert _parse_bucket_grid("6x8") == (6, 8)
+    assert _parse_bucket_grid([4, 5]) == (4, 5)
+
+    cell = SegmentedDetector(
+        "serving", json_db=DB_JSON, json_object_ids="all",
+        json_feature_params=json.dumps({"type": "ORB", "n_features": 500}),
+        bucket_grid="6x8", q_cap=256)
+    cell.configure()
+    assert cell._detector.config.bucket_grid == (6, 8)
+
+
 def test_segmented_detection_survives_occluder(trained_noise):
     """Textured occluder patches are corner-rich clutter that crowds scene
     objects out of a plain response-ranked q_cap compaction (measured:

@@ -23,6 +23,17 @@ from tod_tpu.pipeline.tendril import Tendrils
 from tod_tpu.utils.config import parse_json_params
 
 
+def _parse_bucket_grid(value):
+    """'6x8' / [6, 8] / '' -> (6, 8) or None."""
+    if not value:
+        return None
+    if isinstance(value, str):
+        rows, cols = value.lower().split("x")
+        return int(rows), int(cols)
+    rows, cols = value
+    return int(rows), int(cols)
+
+
 class SegmentedDetector(Cell):
     """One cell wrapping the staged segmented FusedDetector (features +
     query compaction | per-object Pallas matching | two-tier geometry)."""
@@ -71,6 +82,11 @@ class SegmentedDetector(Cell):
         p.declare("tight_final_fit",
                   "Refit the final pose on the strict-sigma inlier set.",
                   default=True)
+        p.declare("bucket_grid",
+                  "Spatially-bucketed query compaction, 'RxC' (e.g. '6x8') "
+                  "or [rows, cols]: keeps each grid cell's best corners "
+                  "round-robin so corner-rich clutter cannot monopolize "
+                  "q_cap. Empty = plain response ranking.", default="")
         p.declare("seed", "PRNG seed for hypothesis sampling.", default=0)
         p.declare("visualize", "Accepted for pipeline compatibility (pose "
                   "overlays are drawn by the PoseDrawer cell).",
@@ -117,6 +133,7 @@ class SegmentedDetector(Cell):
             radius=float(search.get("radius", 50) or 50),
             pipeline="segmented",
             q_cap=int(self.params["q_cap"]),
+            bucket_grid=_parse_bucket_grid(self.params["bucket_grid"]),
             activation=ActivationConfig(
                 m_cap=int(self.params["activation_m_cap"]),
                 n_hypotheses=int(self.params["activation_hypotheses"]),

@@ -74,6 +74,7 @@ class TodDetector(BlackBox):
                              Forward("activation_hypotheses"),
                              Forward("activation_min_score"),
                              Forward("tight_final_fit"),
+                             Forward("bucket_grid"),
                              Forward("seed")]}
             i = {"passthrough": [Forward("image"), Forward("K_image")],
                  "depth_map": [Forward("depth_in", "depth")]}

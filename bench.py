@@ -210,11 +210,13 @@ def build_config(n_features: int):
         subpixel=os.environ.get("BENCH_SUBPIXEL", "") == "1",
         pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
         q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
-        # BENCH_BUCKET=RxC (e.g. 6x8) enables spatially-bucketed q_cap
-        # compaction (clutter robustness; empty = plain response ranking)
-        bucket_grid=(tuple(int(v) for v in
-                           os.environ["BENCH_BUCKET"].split("x"))
-                     if os.environ.get("BENCH_BUCKET") else None),
+        # BENCH_BUCKET=RxC: spatially-bucketed q_cap compaction. Default ON
+        # (6x8): identical recall/FPS on clean scenes, +0.04 recall under
+        # occluder clutter (BENCH_NOISE=hard A/B, PROGRESS.md round 3).
+        # BENCH_BUCKET=off disables (plain response ranking).
+        bucket_grid=(None if os.environ.get("BENCH_BUCKET") == "off" else
+                     tuple(int(v) for v in os.environ.get(
+                         "BENCH_BUCKET", "6x8").split("x"))),
         radius=float(os.environ.get("BENCH_RADIUS", "50")),
         k_matches=int(os.environ.get("BENCH_K", "8")),
         activation=ActivationConfig(
@@ -322,8 +324,10 @@ def main():
     t0 = time.time()
     hits, misses, rot_errs = 0, [], []
     n_accepted, n_true_pos = 0, 0
+    scene_results = []
     for image, depth, gt in scenes:
         found = det.detect(image, depth, DEFAULT_K)
+        scene_results.append((found, gt))
         by_id = {}
         for r in found:
             by_id.setdefault(r.object_id, []).append(r)
@@ -360,6 +364,28 @@ def main():
     precision = n_true_pos / n_accepted if n_accepted else 0.0
     log(f"precision: {n_true_pos}/{n_accepted} accepted poses within 2cm "
         f"of a same-id placement = {precision:.3f}")
+    # operating curve: gate accepts on pose confidence (= inlier count)
+    # post-hoc — what a serving deployment would threshold on
+    curve = {}
+    for th in (8, 12, 16, 20, 24, 32):
+        tp = acc = h = 0
+        for found, gt in scene_results:
+            kept = [r for r in found if r.confidence >= th]
+            acc += len(kept)
+            for r in kept:
+                if any(oid == r.object_id
+                       and float(np.linalg.norm(r.T - gt_T)) <= 0.02
+                       for oid, _, gt_T in gt):
+                    tp += 1
+            for oid, _, gt_T in gt:
+                if any(r.object_id == oid
+                       and float(np.linalg.norm(r.T - gt_T)) <= 0.02
+                       for r in kept):
+                    h += 1
+        curve[th] = (round(h / n_placed, 4),
+                     round(tp / acc, 4) if acc else 1.0)
+    log("confidence-gate curve (min_conf: recall, precision): "
+        + ", ".join(f"{t}: {r:.3f}/{p:.3f}" for t, (r, p) in curve.items()))
     log(f"(recall pass incl. compile: {time.time()-t0:.1f}s)")
 
     # batched throughput — OPT-IN (BENCH_BATCH>=2): streaming wins anyway
@@ -462,6 +488,7 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "recall_at_2cm": round(recall, 4),
         "precision_at_2cm": round(precision, 4),
+        "confidence_curve": {str(t): list(v) for t, v in curve.items()},
         "latency_ms_p50": round(float(lat_p50), 2),
         "latency_ms_p95": round(float(lat_p95), 2),
         "shapes": os.environ.get("BENCH_SHAPES", "mixed"),

@@ -278,7 +278,10 @@ def test_serving_ork_pipeline_matches_fused(trained):
     knobs = dict(q_cap=1024, n_ransac_iterations=512, min_inliers=8,
                  max_instances=2, max_matches_per_object=256,
                  max_active_objects=2, activation_m_cap=128,
-                 activation_hypotheses=128)
+                 activation_hypotheses=128,
+                 # neutralize the serving defaults so the parity target is
+                 # the plain FusedDetectorConfig below
+                 bucket_grid="", min_confidence=0)
     p = build_pipeline_from_ork(conf, overrides={
         "source1": {"frames": [{"image": image, "depth": depth,
                                 "K": DEFAULT_K}]},

@@ -169,9 +169,43 @@ def test_bucket_grid_wires_through_serving_cell(trained_noise):
     cell = SegmentedDetector(
         "serving", json_db=DB_JSON, json_object_ids="all",
         json_feature_params=json.dumps({"type": "ORB", "n_features": 500}),
-        bucket_grid="6x8", q_cap=256)
+        bucket_grid="6x8", min_confidence=24, q_cap=256)
     cell.configure()
     assert cell._detector.config.bucket_grid == (6, 8)
+    assert cell._detector.config.min_confidence == 24.0
+
+
+def test_min_confidence_gate_filters_exactly(trained_noise):
+    """FusedDetectorConfig.min_confidence reports exactly the >=threshold
+    subset of the ungated detections (same seed -> same RANSAC stream)."""
+    import dataclasses
+
+    objects, db = trained_noise
+    models = load_models_for_objects(db, "all")
+    rng = np.random.default_rng(11)
+    pose = facing_pose(rng, z=0.7)
+    image, depth = compose_scene([objects[0]], [pose])
+
+    cfg = FusedDetectorConfig(
+        n_features=1500, pipeline="segmented", q_cap=1024, radius=50.0,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=512, min_inliers=8,
+                                sensor_error=0.01, max_instances=2,
+                                tight_final_fit=True),
+            max_matches_per_object=256, max_active_objects=2))
+    ungated = FusedDetector(models, cfg, seed=5).detect(
+        image, depth, DEFAULT_K)
+    gated = FusedDetector(
+        models, dataclasses.replace(cfg, min_confidence=20.0),
+        seed=5).detect(image, depth, DEFAULT_K)
+    want = [(r.object_id, r.confidence, tuple(np.round(r.T, 6)))
+            for r in ungated if r.confidence >= 20.0]
+    got = [(r.object_id, r.confidence, tuple(np.round(r.T, 6)))
+           for r in gated]
+    assert want and got == want
+    assert any(r.confidence < 20.0 for r in ungated), \
+        "fixture no longer produces sub-threshold accepts; lower the gate"
 
 
 def test_segmented_detection_survives_occluder(trained_noise):

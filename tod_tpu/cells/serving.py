@@ -87,6 +87,11 @@ class SegmentedDetector(Cell):
                   "or [rows, cols]: keeps each grid cell's best corners "
                   "round-robin so corner-rich clutter cannot monopolize "
                   "q_cap. Empty = plain response ranking.", default="")
+        p.declare("min_confidence",
+                  "Serving-side acceptance gate: drop poses with fewer "
+                  "inliers than this after detection (bench curve: >=24 "
+                  "reaches ~0.96 precision at <=0.04 recall cost). "
+                  "0 = report everything.", default=0)
         p.declare("seed", "PRNG seed for hypothesis sampling.", default=0)
         p.declare("visualize", "Accepted for pipeline compatibility (pose "
                   "overlays are drawn by the PoseDrawer cell).",
@@ -134,6 +139,7 @@ class SegmentedDetector(Cell):
             pipeline="segmented",
             q_cap=int(self.params["q_cap"]),
             bucket_grid=_parse_bucket_grid(self.params["bucket_grid"]),
+            min_confidence=float(self.params["min_confidence"]),
             activation=ActivationConfig(
                 m_cap=int(self.params["activation_m_cap"]),
                 n_hypotheses=int(self.params["activation_hypotheses"]),

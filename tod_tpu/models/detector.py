@@ -75,6 +75,7 @@ class TodDetector(BlackBox):
                              Forward("activation_min_score"),
                              Forward("tight_final_fit"),
                              Forward("bucket_grid"),
+                             Forward("min_confidence"),
                              Forward("seed")]}
             i = {"passthrough": [Forward("image"), Forward("K_image")],
                  "depth_map": [Forward("depth_in", "depth")]}

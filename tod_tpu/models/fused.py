@@ -76,6 +76,14 @@ class FusedDetectorConfig:
                                 # response ranking (the reference's cv2
                                 # retainBest semantics, orb.cpp).
     activation: ActivationConfig = ActivationConfig()
+    min_confidence: float = 0.0
+                                # serving-side acceptance gate: drop poses
+                                # whose inlier count is below this AFTER
+                                # detection (the RANSAC min_inliers contract
+                                # is unchanged). The bench's confidence-gate
+                                # curve shows conf>=24 reaches ~0.96
+                                # precision at unchanged-to--0.04 recall;
+                                # 0 = report everything (reference parity).
 
     def use_pallas(self) -> bool:
         if self.matcher == "auto":
@@ -467,7 +475,8 @@ class FusedDetector:
         results: List[PoseResult] = []
         for o, object_id in enumerate(self.object_ids):
             for inst in range(det_acc.shape[1]):
-                if det_acc[o, inst]:
+                if det_acc[o, inst] and \
+                        det_n[o, inst] >= self.config.min_confidence:
                     results.append(PoseResult(
                         R=det_r[o, inst], T=det_t[o, inst],
                         object_id=object_id,

@@ -482,7 +482,7 @@ def main():
         log(f"matcher comparison skipped: {e}")
 
     out = {
-        "metric": "detection_fps_640x480_100obj",
+        "metric": f"detection_fps_640x480_{n_objects}obj",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),

@@ -47,6 +47,12 @@ def main():
                            det.sdb.obj_start, det.sdb.spans)
         scores = np.asarray(scores)
         rank = {o: r for r, o in enumerate(np.argsort(-scores))}
+        # cheap pre-screen signal: per-object count of in-radius matches
+        # (would a top-K cut by count alone retain present objects?)
+        dist_np = np.asarray(dist)
+        ok_np = np.asarray(ok)
+        counts = ((dist_np <= cfg.radius) & ok_np[:, None]).sum(0)
+        crank = {o: r for r, o in enumerate(np.argsort(-counts))}
         acc = np.asarray(d_out.accepted)
         nin = np.asarray(d_out.n_inliers)
         Ts = np.asarray(d_out.T)
@@ -62,6 +68,7 @@ def main():
             shape = type(objects[o]).__name__
             print(f"{tag} s{s} {oid} ({shape}): z={gt_T[2]:.2f} "
                   f"t1score={scores[o]} (rank {rank[o]}) "
+                  f"match_count={int(counts[o])} (count-rank {crank[o]}) "
                   f"best={'none' if best is None else f'dt={best[0] * 100:.1f}cm inl={best[1]}'}",
                   flush=True)
 

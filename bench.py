@@ -99,7 +99,7 @@ def build_db(n_objects: int, seed: int = 0):
             models = [TodModel(f"obj{i:03d}", data[f"d{i}"], data[f"p{i}"])
                       for i in range(n_objects)]
             log(f"loaded {n_objects} cached models from {cache}")
-            return objects, models
+            return objects, _recompress(models)
 
     InMemoryDb.reset_shared()
     db = InMemoryDb.shared("bench")
@@ -145,7 +145,31 @@ def build_db(n_objects: int, seed: int = 0):
                            enumerate(models)},
                  **{f"p{i}": m.points for i, m in enumerate(models)})
         log(f"cached models to {cache}")
-    return objects, models
+    return objects, _recompress(models)
+
+
+def _recompress(models):
+    """BENCH_RECOMPRESS='HAMxMM' (e.g. 24x10): extra dedup pass over the
+    loaded models — Hamming <= HAM AND 3D <= MM millimeters collapses to the
+    first row. A/Bs stronger DB compression (the matcher + tier-1 costs are
+    linear in rows) without retraining the cached DB; dedup is per-model and
+    order-preserving, so a second pass composes with the train-time one."""
+    spec = os.environ.get("BENCH_RECOMPRESS", "")
+    if not spec:
+        return models
+    from tod_tpu.db.models import TodModel
+    from tod_tpu.ops.compress import compress_model
+
+    ham, mm = (int(v) for v in spec.lower().split("x"))
+    before = sum(m.n_points for m in models)
+    out = []
+    for m in models:
+        d, p = compress_model(m.descriptors, m.points, ham, mm / 1000.0)
+        out.append(TodModel(m.object_id, d, p))
+    after = sum(m.n_points for m in out)
+    log(f"recompressed (hamming<={ham}, point<={mm}mm): "
+        f"{before} -> {after} rows ({after/before:.3f})")
+    return out
 
 
 # sensor-noise presets for BENCH_NOISE (applied identically to both engines
@@ -222,7 +246,10 @@ def build_config(n_features: int):
         activation=ActivationConfig(
             m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
             n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
-            object_batch=20),
+            object_batch=20,
+            # BENCH_PRESCREEN=P bounds tier-1 (the one linear-in-catalog
+            # stage) to the top-P objects by margin mass; 0 = score all
+            prescreen=int(os.environ.get("BENCH_PRESCREEN", "0"))),
         guess=GuessConfig(
             ransac=RansacConfig(
                 n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),

@@ -259,6 +259,43 @@ def test_segmented_detector_batched_matches_streaming(trained):
                                    np.asarray(det_s.T)[sel], atol=1e-5)
 
 
+def test_segmented_prescreen_screens_decoys(trained):
+    """Tier-1 pre-screen (ActivationConfig.prescreen): with decoy models in
+    the catalog and prescreen width < catalog size, both present objects
+    survive the margin-mass screen and are recovered; decoys are not
+    reported. The screen bounds the one linear-in-catalog stage
+    (tools/diag_prescreen.py measures the signal at bench scale)."""
+    from tod_tpu.db.models import TodModel
+    from tod_tpu.geometry.detection import ActivationConfig
+
+    objects, db = trained
+    models = load_models_for_objects(db, "all")
+    rng = np.random.default_rng(3)
+    for j in range(2):  # random-descriptor decoys, plausible geometry
+        pts = rng.uniform(-0.15, 0.15, (1200, 3)).astype(np.float32)
+        models.append(TodModel(
+            object_id=f"decoy{j}",
+            descriptors=rng.integers(0, 256, (1200, 32)).astype(np.uint8),
+            points=pts))
+    cfg = FusedDetectorConfig(
+        n_features=1500, pipeline="segmented", q_cap=1024, radius=50.0,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128,
+                                    prescreen=2),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01),
+            max_active_objects=2))
+    det = FusedDetector(models, cfg)
+    image, depth, poses = _scene(objects)
+    results = det.detect(image, depth, DEFAULT_K)
+    assert not [r for r in results if r.object_id.startswith("decoy")]
+    for oid, (gt_R, gt_T) in zip(OBJECT_IDS, poses):
+        mine = [r for r in results if r.object_id == oid]
+        assert mine, f"{oid} lost through the pre-screen"
+        best = max(mine, key=lambda r: r.confidence)
+        dt, ang = _pose_errors(best, gt_R, gt_T)
+        assert dt < 0.02 and ang < 5.0
+
+
 def test_serving_ork_pipeline_matches_fused(trained):
     """`pipeline: segmented` in a detection .ork serves the segmented
     pipeline through the L5/L6 surface, and its poses AGREE with a direct

@@ -313,11 +313,13 @@ def test_sharded_object_top1_exact(devices8, rng):
     np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_1))
 
 
-def test_serving_step_sharded_matches_single_device(devices8, rng):
+@pytest.mark.parametrize("prescreen", [0, 4])
+def test_serving_step_sharded_matches_single_device(devices8, rng, prescreen):
     """The one-program multi-chip segmented serving step (matching + tier-1
     activation + tier-2 RANSAC, objects/actives over 'db', frames over
     'data') equals detect_frame_segmented on one device over the same
-    shard-major object order."""
+    shard-major object order — with and without the tier-1 pre-screen
+    (whose top-P id list is sliced positionally over 'db')."""
     from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
                                             detect_frame_segmented)
     from tod_tpu.models.fused import FusedDetectorConfig
@@ -357,7 +359,7 @@ def test_serving_step_sharded_matches_single_device(devices8, rng):
     cfg = FusedDetectorConfig(
         pipeline="segmented", radius=60.0, q_cap=q_n,
         activation=ActivationConfig(m_cap=64, n_hypotheses=64,
-                                    object_batch=2),
+                                    object_batch=2, prescreen=prescreen),
         guess=GuessConfig(
             ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
                                 max_instances=2),

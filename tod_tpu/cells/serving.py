@@ -79,6 +79,11 @@ class SegmentedDetector(Cell):
         p.declare("activation_min_score",
                   "Tier-1 score below which an object is never activated.",
                   default=4)
+        p.declare("activation_prescreen",
+                  "Tier-1 pre-screen width P: lean RANSAC scores only the "
+                  "top-P objects by the cheap cross-object margin-mass "
+                  "statistic, bounding the one linear-in-catalog stage. "
+                  "0 = score every object.", default=0)
         p.declare("tight_final_fit",
                   "Refit the final pose on the strict-sigma inlier set.",
                   default=True)
@@ -143,7 +148,8 @@ class SegmentedDetector(Cell):
             activation=ActivationConfig(
                 m_cap=int(self.params["activation_m_cap"]),
                 n_hypotheses=int(self.params["activation_hypotheses"]),
-                min_score=int(self.params["activation_min_score"])),
+                min_score=int(self.params["activation_min_score"]),
+                prescreen=int(self.params["activation_prescreen"])),
             guess=GuessConfig(
                 ransac=RansacConfig(
                     n_hypotheses=max(128, min(int(

@@ -211,6 +211,13 @@ class ActivationConfig:
     n_hypotheses: int = 256   # lean RANSAC budget per object
     object_batch: int = 20    # objects vmapped per lax.map step
     min_score: int = 4        # below this an object is never activated
+    # Pre-screen width P: tier-1 lean RANSAC runs only on the top-P objects
+    # by the cheap margin-mass statistic (prescreen_scores) instead of all O.
+    # Tier-1 is the only stage whose cost is linear in the catalog size
+    # (lean RANSAC per object), so this bounds serving cost as the DB grows;
+    # 0 = screen everything (tier-1 on all objects).
+    prescreen: int = 0
+    prescreen_top: int = 64   # margins summed per object by prescreen_scores
 
 
 MARGIN_ALPHA = 0.75     # cap priority = dist - alpha * cross-object level
@@ -272,6 +279,28 @@ def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
     return jax.vmap(one)(jnp.asarray(sel, jnp.int32))
 
 
+def prescreen_scores(dist: jax.Array, level: jax.Array, q_valid: jax.Array,
+                     radius: float, top: int) -> jax.Array:
+    """Cheap O(Q*O) per-object presence proxy: the summed magnitude of the
+    ``top`` most-negative cross-object margins among in-radius matches.
+
+    Raw in-radius match COUNT is near-anti-correlated with presence on
+    weak-texture objects (a present plane ranked 94/100 by count,
+    tools/diag_mixed.py) — descriptor crowding again. The margin
+    m[q,o] = d[q,o] − alpha·median_o' d[q,o'] is the same cross-object
+    signal that fixed store priority (build_object_stores): correct matches
+    are distinctive for THEIR object, so present objects accumulate a heavy
+    negative-margin tail while junk sits at the level. Summing only the
+    ``top`` strongest margins keeps broad junk mass from outscoring a small
+    distinctive cluster (tools/diag_prescreen.py ranks the candidates)."""
+    m = dist - MARGIN_ALPHA * level[:, None]                   # (Q, O)
+    inr = (dist <= radius) & q_valid[:, None]
+    neg = jnp.where(inr, jnp.maximum(-m, 0.0), 0.0)            # (Q, O)
+    k = min(top, neg.shape[0])
+    best, _ = jax.lax.top_k(neg.T, k)                          # (O, k)
+    return best.sum(-1)
+
+
 def detect_frame_segmented(
         key: jax.Array, dist: jax.Array, rows: jax.Array,
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
@@ -284,10 +313,18 @@ def detect_frame_segmented(
     n_objects = spans.shape[0]
     key_act, key_det = jax.random.split(key)
 
-    # ---- tier 1: lean presence scores for every object ---------------------
-    all_ids = jnp.arange(n_objects, dtype=jnp.int32)
-    keys1 = jax.random.split(key_act, n_objects)
+    # ---- tier 1: lean presence scores -------------------------------------
     level = jnp.median(dist, axis=1)   # hoisted: shared by every store build
+    n_pre = (min(act.prescreen, n_objects) if act.prescreen > 0
+             else n_objects)
+    if n_pre < n_objects:
+        pre = prescreen_scores(dist, level, q_valid, radius,
+                               act.prescreen_top)
+        _, pre_ids = jax.lax.top_k(pre, n_pre)
+        pre_ids = pre_ids.astype(jnp.int32)
+    else:
+        pre_ids = jnp.arange(n_objects, dtype=jnp.int32)
+    keys1 = jax.random.split(key_act, n_pre)
 
     def tier1(args):
         key_o, o = args
@@ -299,9 +336,11 @@ def detect_frame_segmented(
         return presence_score(key_o, m, graphs, act.n_hypotheses,
                               cfg.sensor_error)
 
-    scores = jax.lax.map(tier1, (keys1, all_ids),
-                         batch_size=min(act.object_batch,
-                                        max(n_objects, 1)))
+    scores = jax.lax.map(tier1, (keys1, pre_ids),
+                         batch_size=min(act.object_batch, max(n_pre, 1)))
+    if n_pre < n_objects:
+        # un-screened objects carry score 0 (< min_score): never activated
+        scores = jnp.zeros(n_objects, scores.dtype).at[pre_ids].set(scores)
 
     # ---- tier 2: full certified RANSAC on the activated set ----------------
     n_active = min(cfg.max_active_objects, n_objects)

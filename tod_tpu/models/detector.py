@@ -73,6 +73,7 @@ class TodDetector(BlackBox):
                              Forward("activation_m_cap"),
                              Forward("activation_hypotheses"),
                              Forward("activation_min_score"),
+                             Forward("activation_prescreen"),
                              Forward("tight_final_fit"),
                              Forward("bucket_grid"),
                              Forward("min_confidence"),

@@ -117,6 +117,7 @@ def serving_step_sharded(mesh: Mesh, cfg):
     """
     from tod_tpu.geometry.adjacency import fill_adjacency
     from tod_tpu.geometry.detection import (build_object_stores,
+                                            prescreen_scores,
                                             scatter_detections)
     from tod_tpu.geometry.ransac import (ObjectDetections,
                                          detect_object_instances,
@@ -151,11 +152,12 @@ def serving_step_sharded(mesh: Mesh, cfg):
             key_act, key_det = jax.random.split(key)
             level = jnp.median(d, axis=1)
 
-            # ---- tier 1 on THIS device's objects --------------------------
-            keys1 = jax.lax.dynamic_slice_in_dim(
-                jax.random.split(key_act, n_objects), s * o_local, o_local)
-            local_ids = s * o_local + jnp.arange(o_local, dtype=jnp.int32)
-
+            # ---- tier 1, sharded over 'db' --------------------------------
+            # after the (Q, O) all_gather every device can score ANY object
+            # (stores come from the replicated points/obj_start), so with a
+            # pre-screen each device takes a positional slice of the global
+            # top-P id list — bitwise-identical to the single-device path's
+            # key/id assignment; without one, it scores its own shard.
             def tier1(args):
                 key_o, o = args
                 m = build_object_stores(d, r, ok_f, qp_f, xy_f, points_full,
@@ -166,10 +168,39 @@ def serving_step_sharded(mesh: Mesh, cfg):
                 return presence_score(key_o, m, graphs, act.n_hypotheses,
                                       guess.sensor_error)
 
-            scores_loc = jax.lax.map(
-                tier1, (keys1, local_ids),
-                batch_size=min(act.object_batch, max(o_local, 1)))
-            scores = jax.lax.all_gather(scores_loc, "db", axis=0, tiled=True)
+            n_pre = (min(act.prescreen, n_objects) if act.prescreen > 0
+                     else n_objects)
+            if n_pre < n_objects:
+                assert n_pre % n_db == 0, \
+                    f"prescreen ({n_pre}) must divide by n_db ({n_db})"
+                per_dev_pre = n_pre // n_db
+                pre = prescreen_scores(d, level, ok_f, cfg.radius,
+                                       act.prescreen_top)
+                _, pre_ids = jax.lax.top_k(pre, n_pre)
+                pre_ids = pre_ids.astype(jnp.int32)
+                my_ids = jax.lax.dynamic_slice_in_dim(
+                    pre_ids, s * per_dev_pre, per_dev_pre)
+                keys1 = jax.lax.dynamic_slice_in_dim(
+                    jax.random.split(key_act, n_pre), s * per_dev_pre,
+                    per_dev_pre)
+                scores_loc = jax.lax.map(
+                    tier1, (keys1, my_ids),
+                    batch_size=min(act.object_batch, max(per_dev_pre, 1)))
+                scores_pre = jax.lax.all_gather(scores_loc, "db", axis=0,
+                                                tiled=True)
+                scores = jnp.zeros(n_objects, scores_pre.dtype).at[
+                    pre_ids].set(scores_pre)
+            else:
+                keys1 = jax.lax.dynamic_slice_in_dim(
+                    jax.random.split(key_act, n_objects), s * o_local,
+                    o_local)
+                local_ids = s * o_local + jnp.arange(o_local,
+                                                     dtype=jnp.int32)
+                scores_loc = jax.lax.map(
+                    tier1, (keys1, local_ids),
+                    batch_size=min(act.object_batch, max(o_local, 1)))
+                scores = jax.lax.all_gather(scores_loc, "db", axis=0,
+                                            tiled=True)
 
             top_scores, active = jax.lax.top_k(scores, n_active)
             active = jnp.where(top_scores >= act.min_score, active, -1)

@@ -98,6 +98,27 @@ def main():
                   flush=True)
             for k in stats:
                 worst[k] = max(worst[k], int(ranks[k][o]))
+
+        # simulate the tier-2 active set (top-16 by t1, min_score 4) with and
+        # without a pre-screen of width P by each margin stat: does screening
+        # junk out of tier-1 ALSO rescue weak-texture activations?
+        n_active, min_score = 16, 4
+        base_active = set(np.argsort(-t1, kind="stable")[:n_active]
+                          [np.sort(t1)[::-1][:n_active] >= min_score])
+        for oid, _, _ in gt:
+            o = oid_to_idx[oid]
+            flags = []
+            for k in ("mcnt2", "mmass", "mtop64"):
+                for P in (24, 32, 48):
+                    surv = np.argsort(-stats[k], kind="stable")[:P]
+                    t1s = t1[surv]
+                    act = set(surv[np.argsort(-t1s, kind="stable")
+                                   [:n_active]][
+                        np.sort(t1s)[::-1][:n_active] >= min_score])
+                    flags.append(f"{k}@{P}:{'A' if o in act else '-'}")
+            print(f"s{s} {oid} activation base:"
+                  f"{'A' if o in base_active else '-'} "
+                  + " ".join(flags), flush=True)
     print("WORST present-object rank per statistic "
           "(pre-screen width needed to retain all present objects):")
     for k, v in worst.items():

@@ -85,12 +85,14 @@ def build_db(n_objects: int, seed: int = 0):
                      ".bench_cache"))
     dedup = int(os.environ.get("BENCH_DEDUP", "8"))
     subpixel = os.environ.get("BENCH_SUBPIXEL", "") == "1"
+    feature = os.environ.get("BENCH_FEATURE", "ORB")
     cache = None
     if cache_dir:
         sp = "_sp" if subpixel else ""
+        ft = "" if feature == "ORB" else f"_{feature.lower()}"
         cache = os.path.join(cache_dir,
-                             f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}{sp}"
-                             ".npz")
+                             f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}"
+                             f"{sp}{ft}.npz")
         if os.path.exists(cache):
             from tod_tpu.db.models import TodModel
 
@@ -101,14 +103,43 @@ def build_db(n_objects: int, seed: int = 0):
             log(f"loaded {n_objects} cached models from {cache}")
             return objects, _recompress(models)
 
+    # object i's model depends only on (i, seed, shapes, feature params) —
+    # a smaller cached DB with the same params is an exact prefix, so seed
+    # from the largest one and train only the remainder (makes the 1000-
+    # object stretch DB a ~600-object incremental build, not a full one)
+    warm: dict[int, tuple] = {}
+    if cache:
+        import re as _re
+
+        pat = _re.compile(rf"db_n(\d+)_s{seed}_d{dedup}_{shapes}"
+                          rf"{sp}{ft}\.npz$")
+        sizes = sorted(
+            (int(m.group(1)) for f in (os.listdir(cache_dir)
+                                       if os.path.isdir(cache_dir) else [])
+             if (m := pat.match(f)) and int(m.group(1)) < n_objects),
+            reverse=True)
+        if sizes:
+            data = np.load(os.path.join(
+                cache_dir, f"db_n{sizes[0]}_s{seed}_d{dedup}_{shapes}"
+                           f"{sp}{ft}.npz"))
+            warm = {i: (data[f"d{i}"], data[f"p{i}"])
+                    for i in range(sizes[0])}
+            log(f"seeding {len(warm)} models from the n={sizes[0]} cache")
+
     InMemoryDb.reset_shared()
     db = InMemoryDb.shared("bench")
     objects = []
+    warm_models = []
     t0 = time.time()
     trainer = None
     for i in range(n_objects):
         obj = make_obj(i)
         objects.append(obj)
+        if i in warm:
+            from tod_tpu.db.models import TodModel
+
+            warm_models.append(TodModel(obj.object_id, *warm[i]))
+            continue
         # 12 views x 3 elevation rings = 36 views, the reference's turntable
         # capture scale (SURVEY.md section 3.1 "~36 views"); the near-frontal
         # ring matters — detection-time poses are mostly frontal
@@ -122,7 +153,8 @@ def build_db(n_objects: int, seed: int = 0):
             "trainer", object_id=obj.object_id,
             json_db=json.dumps({"type": "mem", "collection": "bench"}),
             json_feature_params=json.dumps(
-                {"type": "ORB", "n_features": 600, "subpixel": subpixel}),
+                {"type": feature, "n_features": 600}
+                | ({"subpixel": subpixel} if feature == "ORB" else {})),
             dedup_hamming=dedup)
         trainer.process()
         # observations are only needed during this object's training;
@@ -134,6 +166,7 @@ def build_db(n_objects: int, seed: int = 0):
                 f"({time.time()-t0:.1f}s)")
     models = load_models_for_objects(db, "all")
     models = {m.object_id: m for m in models}
+    models.update({m.object_id: m for m in warm_models})
     models = [models[o.object_id] for o in objects]  # stable object order
     pts = [m.n_points for m in models]
     log(f"trained {len(models)} distinct models in {time.time()-t0:.1f}s, "
@@ -156,6 +189,10 @@ def _recompress(models):
     order-preserving, so a second pass composes with the train-time one."""
     spec = os.environ.get("BENCH_RECOMPRESS", "")
     if not spec:
+        return models
+    if models and models[0].descriptors.dtype != np.uint8:
+        log("recompress skipped: Hamming dedup applies to binary "
+            "descriptors only (float/SIFT DB)")
         return models
     from tod_tpu.db.models import TodModel
     from tod_tpu.ops.compress import compress_model
@@ -227,11 +264,18 @@ def build_config(n_features: int):
     from tod_tpu.geometry.ransac import RansacConfig
     from tod_tpu.models import FusedDetectorConfig
 
+    # BENCH_FEATURE=SIFT serves the float/L2 path (detection.ros.ork's
+    # pipeline) through the segmented kernel; radius is in unit-norm L2
+    # descriptor units there, not Hamming bits
+    feature = os.environ.get("BENCH_FEATURE", "ORB")
+    default_radius = "50" if feature == "ORB" else "0.9"
     return FusedDetectorConfig(
         n_features=n_features,
+        feature=feature,
         # both-sides sub-pixel A/B (BENCH_SUBPIXEL=1 trains AND detects with
         # fractional keypoint coords; default off = reference-parity ints)
-        subpixel=os.environ.get("BENCH_SUBPIXEL", "") == "1",
+        subpixel=(os.environ.get("BENCH_SUBPIXEL", "") == "1"
+                  and feature == "ORB"),
         pipeline=os.environ.get("BENCH_PIPELINE", "segmented"),
         q_cap=int(os.environ.get("BENCH_QCAP", "2048")),
         # BENCH_BUCKET=RxC: spatially-bucketed q_cap compaction. Default ON
@@ -241,15 +285,18 @@ def build_config(n_features: int):
         bucket_grid=(None if os.environ.get("BENCH_BUCKET") == "off" else
                      tuple(int(v) for v in os.environ.get(
                          "BENCH_BUCKET", "6x8").split("x"))),
-        radius=float(os.environ.get("BENCH_RADIUS", "50")),
+        radius=float(os.environ.get("BENCH_RADIUS", default_radius)),
         k_matches=int(os.environ.get("BENCH_K", "8")),
         activation=ActivationConfig(
             m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
             n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
             object_batch=20,
             # BENCH_PRESCREEN=P bounds tier-1 (the one linear-in-catalog
-            # stage) to the top-P objects by margin mass; 0 = score all
-            prescreen=int(os.environ.get("BENCH_PRESCREEN", "0"))),
+            # stage) to the top-P objects by margin mass; 0 = score all.
+            # Default 32: faster AND higher recall at every measured DB
+            # size (PROGRESS.md scaling table) — screening score-junk out
+            # of tier-1 also unblocks weak-texture activations
+            prescreen=int(os.environ.get("BENCH_PRESCREEN", "32"))),
         guess=GuessConfig(
             ransac=RansacConfig(
                 n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),
@@ -281,7 +328,31 @@ def main():
     # compiled-Pallas parity gate: the fused Mosaic kernel must match the
     # XLA matcher EXACTLY on this hardware before any FPS is reported
     # (tests run the kernel interpreted on CPU; this is the real thing)
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" \
+            and all_models[0].descriptors.dtype != np.uint8:
+        # float/SIFT DB: gate the L2 segmented kernel instead (the only
+        # Pallas kernel the L2 serving path dispatches)
+        import jax.numpy as jnp
+        from tod_tpu.ops.pallas.segmented_l2 import (object_top1_l2_fused,
+                                                     object_top1_l2_xla,
+                                                     pack_segmented_l2,
+                                                     quantize_descriptors)
+
+        sdb_g = pack_segmented_l2(all_models[:8])
+        rng_p = np.random.default_rng(3)
+        qf = rng_p.random((512, 128)).astype(np.float32)
+        qf /= np.linalg.norm(qf, axis=1, keepdims=True)
+        qi = quantize_descriptors(jnp.asarray(qf))
+        dg_f, ig_f = jax.jit(object_top1_l2_fused)(qi, sdb_g)
+        dg_x, ig_x = jax.jit(object_top1_l2_xla)(qi, sdb_g)
+        if not ((np.asarray(dg_f) == np.asarray(dg_x)).all()
+                and (np.asarray(ig_f) == np.asarray(ig_x)).all()):
+            raise AssertionError("segmented L2 Pallas kernel diverges from "
+                                 "the XLA reference on this hardware")
+        log("pallas parity gate: segmented L2 kernel exact vs XLA ✓")
+
+    if jax.default_backend() != "cpu" \
+            and all_models[0].descriptors.dtype == np.uint8:
         from tod_tpu.ops.matching import hamming_topk, pad_db
         from tod_tpu.ops.pallas.hamming import (hamming_topk_fused,
                                                 pack_db_bits, pad_queries)
@@ -474,8 +545,11 @@ def main():
         f"(hard sync per frame, tunnel RTT included)")
 
     # secondary: matcher-only throughput vs CPU brute force (the global
-    # exact-kNN matcher, independent of the serving pipeline choice)
+    # exact-kNN matcher, independent of the serving pipeline choice;
+    # Hamming-only — the L2 path's kernel is gated above instead)
     try:
+        if all_models[0].descriptors.dtype != np.uint8:
+            raise RuntimeError("float DB (Hamming matcher n/a)")
         import jax.numpy as jnp
         from tod_tpu.native import hamming_knn_cpu
         from tod_tpu.models.fused import match_against_db, pack_models
@@ -509,7 +583,9 @@ def main():
         log(f"matcher comparison skipped: {e}")
 
     out = {
-        "metric": f"detection_fps_640x480_{n_objects}obj",
+        "metric": (f"detection_fps_640x480_{n_objects}obj"
+                   + ("" if cfg.feature == "ORB"
+                      else f"_{cfg.feature.lower()}")),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),

@@ -313,6 +313,46 @@ def test_sharded_object_top1_exact(devices8, rng):
     np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_1))
 
 
+def test_sharded_object_top1_l2_exact(devices8, rng):
+    """Object-sharded segmented matching on the SIFT/L2 path (SegmentedDbF
+    int8-quantized descriptors) == single-device L2 kernel on the same
+    shard-major object order, including pad-object slots."""
+    from tod_tpu.ops.pallas.segmented_l2 import (object_top1_l2,
+                                                 pack_segmented_l2,
+                                                 quantize_descriptors)
+    from tod_tpu.parallel import make_mesh, sharded_object_top1
+    from tod_tpu.parallel.segmented import pack_segmented_l2_sharded
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    models = []
+    for i in range(7):  # 7 objects over 4 shards -> one pad object
+        n = 100 + 37 * i
+        d = rng.random((n, 128)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        models.append(TodModel(f"o{i}", d,
+                               rng.uniform(-0.1, 0.1, (n, 3))
+                               .astype(np.float32)))
+    qf = rng.random((128, 128)).astype(np.float32)
+    qf /= np.linalg.norm(qf, axis=1, keepdims=True)
+    qi = np.asarray(quantize_descriptors(jnp.asarray(qf)))
+
+    stacked, ids = pack_segmented_l2_sharded(models, n_shards=4,
+                                             db_chunk=2048)
+    d_s, r_s = jax.jit(lambda qq, db: sharded_object_top1(mesh, qq, db))(
+        jnp.asarray(qi), stacked)
+
+    by_id = {m.object_id: m for m in models}
+    ordered = [TodModel("", np.zeros((0, 128), np.float32),
+                        np.zeros((0, 3), np.float32))
+               if i is None else by_id[i] for i in ids]
+    db1 = pack_segmented_l2(ordered, db_chunk=2048)
+    d_1, r_1 = object_top1_l2(jnp.asarray(qi), db1, db_chunk=2048)
+
+    assert len(ids) == 8 and ids.count(None) == 1
+    np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_1))
+
+
 @pytest.mark.parametrize("prescreen", [0, 4])
 def test_serving_step_sharded_matches_single_device(devices8, rng, prescreen):
     """The one-program multi-chip segmented serving step (matching + tier-1

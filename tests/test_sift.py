@@ -69,6 +69,99 @@ def test_sift_rotation_invariance():
         f"same {np.median(same):.3f} vs random {np.median(rand):.3f}"
 
 
+def test_segmented_l2_matches_numpy():
+    """The L2 segmented per-(query, object) top-1 (XLA path on CPU) equals
+    a numpy brute force over the same int8-quantized descriptors, including
+    the lowest-row tie rule, across uneven object sizes."""
+    from tod_tpu.db.models import TodModel
+    from tod_tpu.ops.pallas.segmented_l2 import (QUANT_SCALE, object_top1_l2,
+                                                 pack_segmented_l2,
+                                                 quantize_descriptors)
+
+    rng = np.random.default_rng(11)
+    sizes = [700, 130, 1500, 1]
+    models = []
+    for o, n in enumerate(sizes):
+        d = rng.random((n, 128)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        models.append(TodModel(f"m{o}", d,
+                               rng.random((n, 3)).astype(np.float32)))
+    db = pack_segmented_l2(models, db_chunk=256)
+
+    q = rng.random((128, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # force exact ties: query 0 duplicates model-2 row 40, which itself is
+    # duplicated at rows 40 and 41 -> the tie rule must report row 40
+    models[2].descriptors[41] = models[2].descriptors[40]
+    q[0] = models[2].descriptors[40]
+    db = pack_segmented_l2(models, db_chunk=256)
+
+    qi = np.asarray(quantize_descriptors(jnp.asarray(q)))
+    dist, row = object_top1_l2(jnp.asarray(qi), db)
+    dist, row = np.asarray(dist), np.asarray(row)
+
+    for o, m in enumerate(models):
+        di = np.clip(np.round(m.descriptors * QUANT_SCALE), 0,
+                     127).astype(np.int32)
+        d2 = ((qi.astype(np.int32)[:, None, :] - di[None, :, :]) ** 2
+              ).sum(-1)
+        ref_rows = d2.argmin(1)                      # argmin = lowest index
+        np.testing.assert_allclose(
+            dist[:, o], np.sqrt(d2.min(1)) / QUANT_SCALE, rtol=1e-6)
+        np.testing.assert_array_equal(row[:, o], ref_rows)
+    assert row[0, 2] == 40 and dist[0, 2] == 0.0
+
+
+@pytest.mark.slow
+def test_sift_segmented_serving_e2e():
+    """The segmented serving pipeline on the SIFT/L2 path: float models are
+    int8-quantized into the L2 segmented kernel, two-tier geometry runs on
+    plain-L2 distances, and the pose is recovered (the detection.ros.ork
+    SIFT pipeline served TPU-native)."""
+    from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
+    from tod_tpu.geometry.detection import ActivationConfig, GuessConfig
+    from tod_tpu.geometry.ransac import RansacConfig
+    from tod_tpu.models import TodTrainer
+    from tod_tpu.models.fused import FusedDetector, FusedDetectorConfig
+
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("sift_seg")
+    hw = (240, 320)
+    K = DEFAULT_K.copy()
+    K[:2] //= 2
+    obj = SyntheticObject.make("sift_sobj", seed=56)
+    for obs in turntable_observations(obj, n_views=8,
+                                      elevations_deg=(75.0, 55.0),
+                                      hw=hw, K=K):
+        insert_observation(db, "sift_sobj", obs["frame_number"],
+                           obs["image"], obs["depth"], obs["mask"],
+                           obs["K"], obs["R"], obs["T"])
+    TodTrainer(
+        "t", object_id="sift_sobj",
+        json_db=json.dumps({"type": "mem", "collection": "sift_seg"}),
+        json_feature_params=json.dumps(
+            {"type": "SIFT", "n_features": 400})).process()
+    models = load_models_for_objects(db, "all")
+
+    rng = np.random.default_rng(4)
+    gt_R, gt_T = facing_pose(rng, z=0.75, max_tilt=0.25, xy_extent=0.05)
+    image, depth = compose_scene([obj], [(gt_R, gt_T)], hw=hw, K=K)
+
+    cfg = FusedDetectorConfig(
+        n_features=800, feature="SIFT", pipeline="segmented",
+        q_cap=512, radius=0.9,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=512, min_inliers=8,
+                                sensor_error=0.01),
+            max_active_objects=1))
+    det = FusedDetector(models, cfg)
+    results = det.detect(image, depth, K)
+    assert results, "no pose through the SIFT segmented serving path"
+    best = max(results, key=lambda r: r.confidence)
+    assert np.linalg.norm(best.T - gt_T) < 0.02
+
+
 @pytest.mark.slow
 def test_sift_train_detect_e2e():
     """Full float path: SIFT training -> model DB (float32 attachments) ->

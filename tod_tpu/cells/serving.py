@@ -121,10 +121,16 @@ class SegmentedDetector(Cell):
         from tod_tpu.models.fused import FusedDetector, FusedDetectorConfig
 
         feat = parse_json_params(self.params["json_feature_params"])
-        if feat.get("type", "ORB") != "ORB":
-            raise ValueError("the segmented serving pipeline is "
-                             "ORB/Hamming-only; use pipeline: cells for SIFT")
+        feat_type = feat.get("type", "ORB")
+        if feat_type not in ("ORB", "SIFT"):
+            raise ValueError(
+                f"unsupported feature type {feat_type!r} for the segmented "
+                "serving pipeline (ORB/Hamming or SIFT/L2)")
         search = parse_json_params(self.params["search_json_params"])
+        # Hamming radii are integers in [0, 256]; L2 radii on unit-norm SIFT
+        # are small floats — keep separate defaults (cell-graph parity:
+        # tests/test_sift.py uses L2 radius 0.9)
+        default_radius = 50 if feat_type == "ORB" else 0.9
 
         self._db_params = parse_json_params(self.params["json_db"])
         db = ObjectDbParameters(self.params["json_db"]).generate_db()
@@ -140,7 +146,9 @@ class SegmentedDetector(Cell):
             scale_factor=float(feat.get("scale_factor", 1.2)),
             fast_threshold=float(feat.get("fast_threshold", 20)),
             subpixel=bool(feat.get("subpixel", False)),
-            radius=float(search.get("radius", 50) or 50),
+            feature=feat_type,
+            radius=float(search.get("radius", default_radius)
+                         or default_radius),
             pipeline="segmented",
             q_cap=int(self.params["q_cap"]),
             bucket_grid=_parse_bucket_grid(self.params["bucket_grid"]),

@@ -52,6 +52,11 @@ class FusedDetectorConfig:
     n_levels: int = 3
     scale_factor: float = 1.2
     fast_threshold: float = 20.0
+    feature: str = "ORB"        # "ORB" (binary/Hamming) | "SIFT" (float/L2,
+                                # served int8-quantized through the
+                                # segmented pipeline — the detection.ros.ork
+                                # SIFT path; requires pipeline="segmented",
+                                # the cell graph covers global-kNN SIFT)
     subpixel: bool = False      # sub-pixel keypoint coords; only useful when
                                 # the MODELS were also trained with subpixel
                                 # (feature param, cells/trainer.py)
@@ -302,10 +307,20 @@ def _stage_features_compact(gray, depth, K, cfg: FusedDetectorConfig):
     keypoints that have valid 3D (matching cost scales with queries, and
     matches without 3D are discarded by the geometry anyway —
     ClusterPerObject's NaN skip, adjacency_ransac.cpp:187-190)."""
-    kps, desc = orb_detect_and_compute(
-        gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
-        scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold,
-        subpixel=cfg.subpixel)
+    if cfg.feature == "SIFT":
+        from tod_tpu.ops.pallas.segmented_l2 import quantize_descriptors
+        from tod_tpu.ops.sift import sift_detect_and_compute
+
+        kps, desc = sift_detect_and_compute(
+            gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            fast_threshold=cfg.fast_threshold)
+        desc = quantize_descriptors(desc)
+    else:
+        kps, desc = orb_detect_and_compute(
+            gray, n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor, fast_threshold=cfg.fast_threshold,
+            subpixel=cfg.subpixel)
     depth_m = to_metric_depth(depth)
     query_pts = depth_to_3d_sparse(depth_m, K, kps.xy)
     finite = jnp.isfinite(query_pts).all(-1) & kps.valid
@@ -325,7 +340,8 @@ def _stage_features_compact(gray, depth, K, cfg: FusedDetectorConfig):
 
     xy = padded(kps.xy[sel])
     qp = padded(jnp.where(ok[:, None], query_pts[sel], jnp.nan), jnp.nan)
-    dsc = padded(jnp.where(ok[:, None], desc[sel], jnp.uint8(0)))
+    dsc = padded(jnp.where(ok[:, None], desc[sel],
+                           jnp.zeros((), desc.dtype)))
     okp = padded(ok)
     return xy, qp, dsc, okp
 
@@ -341,7 +357,11 @@ def _stage_geometry_segmented(key, xy, qp, ok, dist_qo, rows_qo,
 @functools.lru_cache(maxsize=4)
 def _jitted_segmented_stages(cfg: FusedDetectorConfig):
     s1 = jax.jit(functools.partial(_stage_features_compact, cfg=cfg))
-    s2 = jax.jit(object_top1)
+    if cfg.feature == "SIFT":
+        from tod_tpu.ops.pallas.segmented_l2 import object_top1_l2
+        s2 = jax.jit(object_top1_l2)
+    else:
+        s2 = jax.jit(object_top1)
     s3 = jax.jit(functools.partial(_stage_geometry_segmented, cfg=cfg))
     return s1, s2, s3
 
@@ -362,8 +382,17 @@ class FusedDetector:
                  seed: int = 0):
         self.config = config or FusedDetectorConfig()
         self.segmented = self.config.pipeline == "segmented"
+        if self.config.feature == "SIFT" and not self.segmented:
+            raise ValueError(
+                "FusedDetector serves SIFT/L2 through the segmented "
+                "pipeline only (pipeline='segmented'); the TodDetector "
+                "cell graph covers the global-kNN SIFT contract")
         if self.segmented:
-            self.sdb = pack_segmented(models)
+            if self.config.feature == "SIFT":
+                from tod_tpu.ops.pallas.segmented_l2 import pack_segmented_l2
+                self.sdb = pack_segmented_l2(models)
+            else:
+                self.sdb = pack_segmented(models)
             self.object_ids = [m.object_id for m in models]
             self._stages = _jitted_segmented_stages(self.config)
         else:
@@ -420,11 +449,16 @@ class FusedDetector:
         if self.segmented:
             s1 = jax.jit(jax.vmap(
                 functools.partial(_stage_features_compact, cfg=cfg)))
+            if cfg.feature == "SIFT":
+                from tod_tpu.ops.pallas.segmented_l2 import object_top1_l2
+                top1 = object_top1_l2
+            else:
+                top1 = object_top1
             # the Pallas kernel is not vmappable; fold the batch into the
             # query axis (results are per-query independent)
             def match_b(dsc_b, sdb):
-                b, qn, _ = dsc_b.shape
-                d, r = object_top1(dsc_b.reshape(b * qn, 32), sdb)
+                b, qn, d_dim = dsc_b.shape
+                d, r = top1(dsc_b.reshape(b * qn, d_dim), sdb)
                 return (d.reshape(b, qn, -1), r.reshape(b, qn, -1))
             s2 = jax.jit(match_b)
             s3 = jax.jit(jax.vmap(

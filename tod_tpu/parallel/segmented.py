@@ -16,7 +16,7 @@ form: each device owns a (frame-block x object-shard) tile.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,15 @@ from jax import shard_map
 from tod_tpu.db.models import TodModel
 from tod_tpu.ops.pallas.segmented import (DB_CHUNK, PAD_POP, SegmentedDb,
                                           object_top1, pack_segmented)
+from tod_tpu.ops.pallas.segmented_l2 import (PAD_NORM, SegmentedDbF,
+                                             object_top1_l2,
+                                             pack_segmented_l2)
+
+
+def _top1_for(sdb):
+    """Matcher dispatch on the packed-DB pytree type: Hamming (SegmentedDb)
+    or int8-quantized L2 (SegmentedDbF, the SIFT serving path)."""
+    return object_top1_l2 if isinstance(sdb, SegmentedDbF) else object_top1
 
 
 def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
@@ -76,6 +85,59 @@ def pack_segmented_sharded(models: Sequence[TodModel], n_shards: int,
             chunk_base=jnp.concatenate(
                 [db.chunk_base,
                  jnp.zeros(extra // db_chunk, jnp.int32)]))
+
+    packed = [pad_rows(db) for db in packed]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
+    ids = [None if is_pad else m.object_id
+           for p, pads in zip(per, pad_slots)
+           for m, is_pad in zip(p, pads)]
+    return stacked, ids
+
+
+def pack_segmented_l2_sharded(models: Sequence[TodModel], n_shards: int,
+                              db_chunk: Optional[int] = None
+                              ) -> Tuple[SegmentedDbF, List[str]]:
+    """:func:`pack_segmented_sharded` for float-descriptor models (the
+    SIFT/L2 serving path): same round-robin whole-object layout, stacked
+    SegmentedDbF with a leading shard axis; padding rows carry PAD_NORM so
+    they never win a nearest-row reduction."""
+    from tod_tpu.ops.pallas.segmented_l2 import DB_CHUNK as L2_DB_CHUNK
+
+    if db_chunk is None:
+        db_chunk = L2_DB_CHUNK
+    dim = models[0].descriptors.shape[1] if models else 128
+    per = [list(models[s::n_shards]) for s in range(n_shards)]
+    o_max = max((len(p) for p in per), default=0)
+    pad_slots = [[False] * len(p) + [True] * (o_max - len(p)) for p in per]
+    n_rows_max = 0
+    packed = []
+    for p in per:
+        while len(p) < o_max:
+            p.append(TodModel("", np.zeros((0, dim), np.float32),
+                              np.zeros((0, 3), np.float32)))
+        db = pack_segmented_l2(p, db_chunk)
+        packed.append(db)
+        n_rows_max = max(n_rows_max, db.vecs_t.shape[1])
+
+    def pad_rows(db: SegmentedDbF) -> SegmentedDbF:
+        extra = n_rows_max - db.vecs_t.shape[1]
+        if not extra:
+            return db
+        return SegmentedDbF(
+            vecs_t=jnp.concatenate(
+                [db.vecs_t, jnp.zeros((dim, extra), db.vecs_t.dtype)], 1),
+            norm_sq=jnp.concatenate(
+                [db.norm_sq,
+                 jnp.full((1, extra), PAD_NORM, db.norm_sq.dtype)], 1),
+            points=jnp.concatenate(
+                [db.points, jnp.zeros((extra, 3), jnp.float32)]),
+            obj_start=db.obj_start,
+            n_rows=db.n_rows,
+            spans=db.spans,
+            chunk_obj=jnp.concatenate(
+                [db.chunk_obj, jnp.zeros(extra // db_chunk, jnp.int32)]),
+            chunk_base=jnp.concatenate(
+                [db.chunk_base, jnp.zeros(extra // db_chunk, jnp.int32)]))
 
     packed = [pad_rows(db) for db in packed]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
@@ -146,7 +208,7 @@ def serving_step_sharded(mesh: Mesh, cfg):
         spans_full = jax.lax.all_gather(sdb.spans, "db", axis=0, tiled=True)
 
         def per_frame(key, xy_f, qp_f, ok_f, dsc_f):
-            d_loc, r_loc = object_top1(dsc_f, sdb, vary=("data", "db"))
+            d_loc, r_loc = _top1_for(sdb)(dsc_f, sdb, vary=("data", "db"))
             d = jax.lax.all_gather(d_loc, "db", axis=1, tiled=True)  # (Q, O)
             r = jax.lax.all_gather(r_loc, "db", axis=1, tiled=True)
             key_act, key_det = jax.random.split(key)
@@ -258,16 +320,19 @@ def sharded_object_top1(mesh: Mesh, query_u8: jax.Array,
                         ) -> Tuple[jax.Array, jax.Array]:
     """Per-(query, object) nearest rows across an object-sharded DB.
 
-    ``query_u8``: (Q, 32), sharded over 'data' (Q divisible by the data
-    axis); ``sdb_stacked``: SegmentedDb with leading shard axis == size of
-    'db'. Returns (Q, O_total) dist/row in shard-major object order —
-    bitwise equal to the single-device kernel on the same object order."""
+    ``query_u8``: (Q, 32) uint8 Hamming — or (Q, 128) int8 quantized-L2
+    when ``sdb_stacked`` is a SegmentedDbF — sharded over 'data' (Q
+    divisible by the data axis); ``sdb_stacked``: SegmentedDb(F) with
+    leading shard axis == size of 'db'. Returns (Q, O_total) dist/row in
+    shard-major object order — bitwise equal to the single-device kernel on
+    the same object order."""
     n_db = mesh.shape["db"]
-    assert sdb_stacked.bits_t.shape[0] == n_db, "shard count != db axis"
+    assert jax.tree.leaves(sdb_stacked)[0].shape[0] == n_db, \
+        "shard count != db axis"
 
     def local(q, sdb):
         sdb = jax.tree.map(lambda x: x[0], sdb)           # drop shard dim
-        d, r = object_top1(q, sdb, vary=("data", "db"))
+        d, r = _top1_for(sdb)(q, sdb, vary=("data", "db"))
         # concatenation over 'db' assembles the full object axis; all devices
         # then hold identical values, but all_gather does not clear the
         # varying-across-mesh type — finish with a psum of shard 0's values

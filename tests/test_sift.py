@@ -153,13 +153,42 @@ def test_sift_segmented_serving_e2e():
         activation=ActivationConfig(m_cap=128, n_hypotheses=128),
         guess=GuessConfig(
             ransac=RansacConfig(n_hypotheses=512, min_inliers=8,
-                                sensor_error=0.01),
+                                sensor_error=0.01, tight_final_fit=True),
             max_active_objects=1))
     det = FusedDetector(models, cfg)
     results = det.detect(image, depth, K)
     assert results, "no pose through the SIFT segmented serving path"
     best = max(results, key=lambda r: r.confidence)
     assert np.linalg.norm(best.T - gt_T) < 0.02
+
+    # the same detection through the SIFT serving .ork (L5/L6 surface):
+    # identical config + seed -> identical poses
+    import os
+
+    from tod_tpu.pipeline.ork import build_pipeline_from_ork
+
+    conf = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "detection.sift.serving.ork")
+    p = build_pipeline_from_ork(conf, overrides={
+        "source1": {"frames": [{"image": image, "depth": depth, "K": K}]},
+        "pipeline1": {
+            "db": {"type": "mem", "collection": "sift_seg"},
+            "feature": {"type": "SIFT", "n_features": 800},
+            "q_cap": 512, "n_ransac_iterations": 512, "min_inliers": 8,
+            "max_active_objects": 1, "activation_m_cap": 128,
+            "activation_hypotheses": 128, "activation_prescreen": 0,
+            # match the direct config's RansacConfig/GuessConfig defaults
+            "max_instances": 5, "max_matches_per_object": 512,
+            # neutralize serving extras so the parity target is cfg above
+            "bucket_grid": "", "min_confidence": 0},
+    })
+    p.execute(1)
+    ork_results = p.cells["pipeline1"].outputs["pose_results"]
+    assert ork_results, "no pose through the SIFT serving .ork"
+    key = lambda r: (r.object_id, round(float(r.confidence)))
+    assert sorted(map(key, ork_results)) == sorted(map(key, results))
+    for a, b in zip(sorted(ork_results, key=key), sorted(results, key=key)):
+        np.testing.assert_allclose(a.T, b.T, atol=1e-5)
 
 
 @pytest.mark.slow

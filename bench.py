@@ -611,7 +611,22 @@ def main():
                 os.environ.get("BENCH_NOISE", "")):
             out["oracle_recall_at_2cm"] = oracle.get("recall_at_2cm")
             out["oracle_cpu_fps"] = oracle.get("cpu_fps")
+    # measured SIFT/L2 serving numbers over the same workload, if the SIFT
+    # bench has been run (BENCH_FEATURE=SIFT writes SIFT_BENCH.json)
+    sift_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SIFT_BENCH.json")
+    if cfg.feature == "ORB" and os.path.exists(sift_path):
+        with open(sift_path) as f:
+            sift = json.load(f)
+        if (sift.get("metric")
+                == f"detection_fps_640x480_{n_objects}obj_sift"
+                and sift.get("shapes") == out["shapes"]):
+            out["sift_fps"] = sift.get("value")
+            out["sift_recall_at_2cm"] = sift.get("recall_at_2cm")
     print(json.dumps(out), flush=True)
+    if cfg.feature == "SIFT":
+        with open(sift_path, "w") as f:
+            json.dump(out, f)
 
 
 if __name__ == "__main__":

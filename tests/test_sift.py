@@ -79,7 +79,10 @@ def test_segmented_l2_matches_numpy():
                                                  quantize_descriptors)
 
     rng = np.random.default_rng(11)
-    sizes = [700, 130, 1500, 1]
+    # the zero-row model pins the PAD_NORM arithmetic: 2^28 + small ints is
+    # not f32-representable, so the XLA path must add norms in int32 to
+    # stay bitwise-equal to the kernel (and to this int32 brute force)
+    sizes = [700, 130, 1500, 1, 0]
     models = []
     for o, n in enumerate(sizes):
         d = rng.random((n, 128)).astype(np.float32)
@@ -100,7 +103,21 @@ def test_segmented_l2_matches_numpy():
     dist, row = object_top1_l2(jnp.asarray(qi), db)
     dist, row = np.asarray(dist), np.asarray(row)
 
+    from tod_tpu.ops.pallas.segmented_l2 import PAD_NORM
+
     for o, m in enumerate(models):
+        if m.n_points == 0:
+            # zero-row object: only PAD_NORM rows exist; the reported
+            # distance must be exactly sqrt(q_norm + 2^28)/scale, bitwise
+            # identical between kernel and XLA int32 arithmetic
+            qn = (qi.astype(np.int64) ** 2).sum(-1)
+            np.testing.assert_array_equal(
+                dist[:, o].astype(np.float64) ** 2 * QUANT_SCALE ** 2
+                > PAD_NORM / 2, True)
+            np.testing.assert_allclose(
+                dist[:, o], np.sqrt(qn + PAD_NORM) / QUANT_SCALE, rtol=1e-6)
+            np.testing.assert_array_equal(row[:, o], 0)
+            continue
         di = np.clip(np.round(m.descriptors * QUANT_SCALE), 0,
                      127).astype(np.int32)
         d2 = ((qi.astype(np.int32)[:, None, :] - di[None, :, :]) ** 2

@@ -222,7 +222,7 @@ def object_top1_l2_xla(query_i8: jax.Array, db: SegmentedDbF,
     if db_chunk is None:
         db_chunk = db_chunk_of_f(db)
     qf = query_i8.astype(jnp.float32)
-    q_norm = (qf ** 2).sum(axis=1)[:, None]
+    q_norm = (query_i8.astype(jnp.int32) ** 2).sum(axis=1)[:, None]
     n = db.vecs_t.shape[1]
     n_chunks = n // db_chunk
     n_objects = int(db.obj_start.shape[0]) or 1
@@ -240,10 +240,13 @@ def object_top1_l2_xla(query_i8: jax.Array, db: SegmentedDbF,
     def body(carry, inp):
         best_d, best_i = carry
         vecs_c, norm_c, obj_c, base_c = inp
+        # the matmul runs in f32 (exact: int8 operands, |dot| < 2^24) but the
+        # norm terms are added in int32 — PAD_NORM (2^28) + a small integer
+        # is not f32-representable, and f32 rounding there would diverge
+        # from the kernel's int32 arithmetic on zero-row (padding) objects
         dot = jnp.dot(qf, vecs_c.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
-        dist = (q_norm + norm_c[None, :].astype(jnp.float32)
-                - 2.0 * dot).astype(jnp.int32)
+        dist = q_norm + norm_c[None, :] - 2 * dot.astype(jnp.int32)
         dmin = dist.min(axis=1)
         col = jnp.arange(db_chunk, dtype=jnp.int32)[None, :]
         imin = jnp.where(dist == dmin[:, None], base_c + col,

@@ -293,10 +293,15 @@ def build_config(n_features: int):
             object_batch=20,
             # BENCH_PRESCREEN=P bounds tier-1 (the one linear-in-catalog
             # stage) to the top-P objects by margin mass; 0 = score all.
-            # Default 32: faster AND higher recall at every measured DB
-            # size (PROGRESS.md scaling table) — screening score-junk out
-            # of tier-1 also unblocks weak-texture activations
-            prescreen=int(os.environ.get("BENCH_PRESCREEN", "32"))),
+            # Default 32 (faster AND higher recall at every measured DB
+            # size <= 400 — screening score-junk out of tier-1 also
+            # unblocks weak-texture activations), growing ~O/12 beyond:
+            # at 800 objects P=64 recovered 2 activation misses at
+            # identical FPS (PROGRESS.md scaling table)
+            prescreen=int(os.environ.get(
+                "BENCH_PRESCREEN",
+                str(max(32, int(os.environ.get("BENCH_OBJECTS", "100"))
+                        // 12))))),
         guess=GuessConfig(
             ransac=RansacConfig(
                 n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),

@@ -287,6 +287,12 @@ def build_config(n_features: int):
                          "BENCH_BUCKET", "6x8").split("x"))),
         radius=float(os.environ.get("BENCH_RADIUS", default_radius)),
         k_matches=int(os.environ.get("BENCH_K", "8")),
+        # BENCH_COARSE=S enables coarse->fine matching: screen the catalog
+        # on a stride-S subsampled sweep, run the exact segmented match on
+        # only the top BENCH_FINE objects. The single-chip lever at large
+        # catalogs (the full sweep is linear in total rows). 0 = off.
+        coarse_stride=int(os.environ.get("BENCH_COARSE", "0")),
+        fine_width=int(os.environ.get("BENCH_FINE", "128")),
         activation=ActivationConfig(
             m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
             n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
@@ -401,6 +407,26 @@ def main():
             raise AssertionError("segmented Pallas kernel diverges from the "
                                  "XLA reference on this hardware")
         log("pallas parity gate: segmented per-object kernel exact vs XLA ✓")
+
+        if int(os.environ.get("BENCH_COARSE", "0")) > 0:
+            # coarse->fine mode also dispatches the gathered kernel: gate it
+            from tod_tpu.ops.pallas.segmented import (
+                max_chunks_per_object, object_top1_gathered_fused,
+                object_top1_gathered_xla)
+
+            sel_g = jnp.asarray(np.array([5, 2, -1, 7, 0], np.int32))
+            maxc = max_chunks_per_object(sdb_g)
+            dh_f, ih_f = jax.jit(lambda qq: object_top1_gathered_fused(
+                qq, sdb_g, sel_g, maxc))(qg)
+            dh_x, ih_x = jax.jit(lambda qq: object_top1_gathered_xla(
+                qq, sdb_g, sel_g))(qg)
+            if not ((np.asarray(dh_f) == np.asarray(dh_x)).all()
+                    and (np.asarray(ih_f) == np.asarray(ih_x)).all()):
+                raise AssertionError("gathered segmented kernel diverges "
+                                     "from the XLA reference on this "
+                                     "hardware")
+            log("pallas parity gate: gathered (coarse->fine) kernel exact "
+                "vs XLA ✓")
 
     # Serving pipeline: per-object segmented matching + tier-1 geometric
     # activation (tools/diag_* measurements: global kNN keeps only 12-16

@@ -353,3 +353,32 @@ def test_serving_ork_pipeline_matches_fused(trained):
     assert sorted(map(key, ork_results)) == sorted(map(key, direct))
     for a, b in zip(sorted(ork_results, key=key), sorted(direct, key=key)):
         np.testing.assert_allclose(a.T, b.T, atol=1e-5)
+
+
+def test_coarse_fine_detector_recovers_poses(trained):
+    """Coarse->fine serving (stride-subsampled screen + gathered exact
+    match on the selected objects) recovers the same poses as the full
+    segmented sweep."""
+    from tod_tpu.geometry.detection import ActivationConfig
+
+    objects, db = trained
+    models = load_models_for_objects(db, "all")
+    cfg = FusedDetectorConfig(
+        n_features=1500, pipeline="segmented", q_cap=1024, radius=50.0,
+        coarse_stride=4, fine_width=2,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01),
+            max_active_objects=2))
+    det = FusedDetector(models, cfg)
+    assert det._coarse is not None
+    image, depth, poses = _scene(objects)
+    results = det.detect(image, depth, DEFAULT_K)
+    assert len(results) >= 2, f"found {len(results)} poses"
+    for oid, (gt_R, gt_T) in zip(OBJECT_IDS, poses):
+        mine = [r for r in results if r.object_id == oid]
+        assert mine, f"{oid} not detected"
+        best = max(mine, key=lambda r: r.confidence)
+        dt, ang = _pose_errors(best, gt_R, gt_T)
+        assert dt < 0.02, f"{oid}: translation error {dt:.4f} m"
+        assert ang < 5.0, f"{oid}: rotation error {ang:.2f} deg"

@@ -97,6 +97,15 @@ class SegmentedDetector(Cell):
                   "inliers than this after detection (bench curve: >=24 "
                   "reaches ~0.96 precision at <=0.04 recall cost). "
                   "0 = report everything.", default=0)
+        p.declare("coarse_stride",
+                  "Coarse->fine matching (large catalogs): screen objects "
+                  "on a stride-subsampled sweep, run the exact segmented "
+                  "match on only the top fine_width objects. Match cost "
+                  "becomes sub-linear in the catalog. 0 = off (full exact "
+                  "sweep).", default=0)
+        p.declare("fine_width",
+                  "Objects surviving the coarse screen (the exact-match "
+                  "set).", default=128)
         p.declare("seed", "PRNG seed for hypothesis sampling.", default=0)
         p.declare("visualize", "Accepted for pipeline compatibility (pose "
                   "overlays are drawn by the PoseDrawer cell).",
@@ -153,6 +162,8 @@ class SegmentedDetector(Cell):
             q_cap=int(self.params["q_cap"]),
             bucket_grid=_parse_bucket_grid(self.params["bucket_grid"]),
             min_confidence=float(self.params["min_confidence"]),
+            coarse_stride=int(self.params["coarse_stride"]),
+            fine_width=int(self.params["fine_width"]),
             activation=ActivationConfig(
                 m_cap=int(self.params["activation_m_cap"]),
                 n_hypotheses=int(self.params["activation_hypotheses"]),

@@ -358,3 +358,47 @@ def detect_frame_segmented(
     # active is a permutation/subset of object ids (with -1 holes);
     # scatter handles both the subset and the full-permutation case
     return scores, scatter_detections(det, active, n_objects)
+
+
+# ---------------------------------------------------------------------------
+# Coarse->fine serving mode: screen the catalog on a stride-subsampled
+# coarse sweep, then run the exact segmented match + two-tier geometry on
+# only the selected objects (ops/pallas/segmented.py object_top1_gathered).
+# Serving cost becomes linear in the FINE WIDTH instead of the catalog size.
+# ---------------------------------------------------------------------------
+
+
+def coarse_select(dist_c: jax.Array, q_valid: jax.Array, radius: float,
+                  slack: float, width: int, top: int) -> jax.Array:
+    """Object pre-selection from a coarse (stride-subsampled) sweep's
+    (Q, O) distances: top ``width`` objects by the prescreen margin-mass
+    statistic. Coarse top-1 distances are biased upward (the correct row
+    may not be in the subsample), so the in-radius cut runs at
+    ``radius + slack``."""
+    level = jnp.median(dist_c, axis=1)
+    pre = prescreen_scores(dist_c, level, q_valid, radius + slack, top)
+    w = min(width, dist_c.shape[1])
+    _, sel = jax.lax.top_k(pre, w)
+    return sel.astype(jnp.int32)
+
+
+def detect_frame_gathered(
+        key: jax.Array, dist: jax.Array, rows: jax.Array, sel: jax.Array,
+        q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
+        points: jax.Array, obj_start: jax.Array, spans: jax.Array,
+        cfg: GuessConfig, act: ActivationConfig, radius: float
+) -> Tuple[jax.Array, ObjectDetections]:
+    """detect_frame_segmented over a gathered (Q, C) match slab whose
+    columns are the objects ``sel`` (-1 = empty slot; their distances are
+    HOLE_DIST, never within radius). Results are scattered back to the full
+    object axis. Returns ``(scores (O,), ObjectDetections (O, I, ...))``."""
+    n_objects = spans.shape[0]
+    sel_safe = jnp.maximum(sel, 0)
+    scores_c, det_c = detect_frame_segmented(
+        key, dist, rows, q_valid, query_pts, query_xy, points,
+        obj_start[sel_safe], spans[sel_safe], cfg, act, radius)
+    # drop-scatter so an empty slot can never clobber object 0's score
+    safe = jnp.where(sel >= 0, sel, n_objects)
+    scores = jnp.zeros(n_objects, scores_c.dtype).at[safe].set(
+        scores_c, mode="drop")
+    return scores, scatter_detections(det_c, sel, n_objects)

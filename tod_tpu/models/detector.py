@@ -77,6 +77,8 @@ class TodDetector(BlackBox):
                              Forward("tight_final_fit"),
                              Forward("bucket_grid"),
                              Forward("min_confidence"),
+                             Forward("coarse_stride"),
+                             Forward("fine_width"),
                              Forward("seed")]}
             i = {"passthrough": [Forward("image"), Forward("K_image")],
                  "depth_map": [Forward("depth_in", "depth")]}

@@ -22,6 +22,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -30,22 +31,77 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def wait_for_devices(retries: int = 12, delay: float = 15.0):
-    """The TPU tunnel backend can refuse connections for a while after a
-    previous client disconnects; retry initialization until it comes up."""
+def wait_for_devices(window: Optional[float] = None, delay: float = 20.0):
+    """The TPU tunnel backend can refuse connections for a while (observed
+    up to ~1h) after a previous client disconnects; retry initialization
+    until it comes up. Two distinct failure modes (both observed):
+
+    - ``jax.devices()`` RAISES (Unavailable): sleep and retry in-process.
+    - ``jax.devices()`` HANGS forever inside PJRT client init: no in-process
+      retry can recover (the half-open client is a singleton), but a FRESH
+      process connects fine once the server frees up — so after
+      ``BENCH_INIT_HANG`` seconds (default 180) we re-exec this script,
+      bounded by BENCH_REEXEC to avoid a restart loop.
+    """
+    import threading
+
     import jax
 
-    for i in range(retries):
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            log(f"backend init retry {i + 1}/{retries}: {e}")
+    window = float(os.environ.get("BENCH_INIT_WINDOW", window or 1800.0))
+    hang_s = float(os.environ.get("BENCH_INIT_HANG", "180"))
+    n_reexec = int(os.environ.get("BENCH_REEXEC", "0"))
+    if n_reexec:
+        # Fresh process after a hung-client re-exec: give the single-client
+        # server a quiet window before reconnecting — reconnecting
+        # immediately re-wedges it (observed on the v5e tunnel).
+        quiet = 90.0 * n_reexec
+        log(f"post-re-exec quiet window: {quiet:.0f}s")
+        time.sleep(quiet)
+    deadline = time.time() + window
+    attempt = 0
+    while True:
+        attempt += 1
+        box = {}
+
+        def _try():
             try:
-                jax.clear_backends()
-            except Exception:
-                pass
-            time.sleep(delay)
-    return jax.devices()
+                box["devices"] = jax.devices()
+            except Exception as e:  # noqa: BLE001 — logged and retried
+                box["error"] = e
+
+        th = threading.Thread(target=_try, daemon=True)
+        th.start()
+        th.join(hang_s)
+        if "devices" in box:
+            return box["devices"]
+        if th.is_alive():
+            # Hung client init: unrecoverable in-process. Re-exec once the
+            # budget allows; otherwise keep waiting on the same call.
+            n_reexec = int(os.environ.get("BENCH_REEXEC", "0"))
+            if n_reexec < 5:
+                log(f"device init hung >{hang_s:.0f}s; re-exec "
+                    f"({n_reexec + 1}/5) for a fresh PJRT client")
+                os.environ["BENCH_REEXEC"] = str(n_reexec + 1)
+                sys.stdout.flush()
+                sys.stderr.flush()
+                # exec immediately — it closes this process's half-open
+                # (cloexec) sockets, freeing the single-client server; the
+                # fresh process then waits out a quiet window (below)
+                # before reconnecting.
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            th.join(max(0.0, deadline - time.time()))
+            if "devices" in box:
+                return box["devices"]
+            raise RuntimeError("TPU device init hung past the retry window")
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable for {window:.0f}s: {box['error']}")
+        log(f"backend init retry {attempt}: {box['error']}")
+        try:
+            jax.clear_backends()
+        except Exception:
+            pass
+        time.sleep(delay)
 
 
 def build_db(n_objects: int, seed: int = 0):
@@ -327,7 +383,23 @@ def main():
     n_features = int(os.environ.get("BENCH_FEATURES", "5000"))
 
     import jax
-    log(f"devices: {wait_for_devices()}")
+    try:
+        log(f"devices: {wait_for_devices()}")
+    except RuntimeError as e:
+        # Unrecoverable tunnel outage: fail HONESTLY but informatively —
+        # value 0 says "nothing was measured in this run"; last_measured
+        # carries the most recent successful run's JSON (written below) so
+        # the record still points at real, clearly-labeled numbers.
+        last_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
+        out = {"metric": f"detection_fps_640x480_{n_objects}obj",
+               "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+               "error": f"TPU unavailable: {e}"}
+        if os.path.exists(last_path):
+            with open(last_path) as f:
+                out["last_measured"] = json.load(f)
+        print(json.dumps(out), flush=True)
+        return
 
     from tod_tpu.models import FusedDetector
     from tod_tpu.utils.synthetic import DEFAULT_K
@@ -655,6 +727,13 @@ def main():
             out["sift_fps"] = sift.get("value")
             out["sift_recall_at_2cm"] = sift.get("recall_at_2cm")
     print(json.dumps(out), flush=True)
+    # durable record of the most recent successful measurement (read back
+    # by the tunnel-outage fallback above)
+    last_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LAST.json")
+    with open(last_path, "w") as f:
+        json.dump(dict(out, measured_at=time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                      time.gmtime())), f)
     if cfg.feature == "SIFT":
         with open(sift_path, "w") as f:
             json.dump(out, f)

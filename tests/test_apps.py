@@ -99,3 +99,18 @@ pipeline1:
               str(dconf), "--frames", str(frames_dir), "--timing"])
     assert r.returncode == 0, r.stderr
     assert "cli_obj" in r.stdout, r.stdout
+
+
+def test_cli_honors_jax_platforms_env():
+    """A CLI subprocess launched with JAX_PLATFORMS=cpu must actually land
+    on the CPU backend. The TPU-pool sitecustomize force-selects its PJRT
+    platform via jax.config at interpreter start (overriding the env var),
+    which put CLI subprocesses on the single-client TPU tunnel — colliding
+    with any concurrent bench and hanging whenever the tunnel was wedged.
+    honor_jax_platforms_env() (called by both apps) re-asserts the env."""
+    r = _run(["-c",
+              "from tod_tpu.utils.platform import honor_jax_platforms_env;"
+              "honor_jax_platforms_env();"
+              "import jax; print('backend=' + jax.default_backend())"])
+    assert r.returncode == 0, r.stderr
+    assert "backend=cpu" in r.stdout, r.stdout

@@ -434,3 +434,100 @@ def test_serving_step_sharded_matches_single_device(devices8, rng, prescreen):
                                       np.asarray(det_1.n_inliers))
     # sanity: the planted objects are actually detected
     assert np.asarray(det_s.accepted).any()
+
+
+@pytest.mark.parametrize("fine_width", [4, 8])
+def test_serving_step_sharded_coarse_fine_matches_single_device(
+        devices8, rng, fine_width):
+    """The multi-chip coarse->fine serving step (per-shard coarse sweep ->
+    global top-fine_width slab -> per-shard gathered fine pass merged by a
+    pmin of packed keys -> slab-sharded tier-1/tier-2) equals the
+    single-device coarse->fine path (coarse_select + object_top1_gathered +
+    detect_frame_gathered) over the same shard-major object order.
+    fine_width=8 covers the slab == whole-catalog case."""
+    from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
+                                            coarse_select,
+                                            detect_frame_gathered)
+    from tod_tpu.models.fused import FusedDetectorConfig
+    from tod_tpu.ops.pallas.segmented import (object_top1,
+                                              object_top1_gathered_xla,
+                                              pack_segmented,
+                                              subsample_models)
+    from tod_tpu.parallel import make_mesh, pack_segmented_sharded
+    from tod_tpu.parallel.segmented import (serving_step_sharded,
+                                            stacked_max_chunks)
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    models = []
+    for i in range(8):
+        n = 120 + 17 * i
+        desc = rng.integers(0, 256, (n, 32), np.uint8)
+        pts = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+        models.append(TodModel(f"o{i}", desc, pts))
+    q_n = 256
+    qp = np.full((2, q_n, 3), np.nan, np.float32)
+    xy = np.zeros((2, q_n, 2), np.float32)
+    dsc = rng.integers(0, 256, (2, q_n, 32), np.uint8)
+    ok = np.zeros((2, q_n), bool)
+    for f in range(2):
+        cursor = 0
+        for i in (0, 3, 5):
+            m = models[i]
+            take = 50
+            sel_rows = rng.choice(m.n_points, take, replace=False)
+            Rg = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(Rg) < 0:
+                Rg[:, 0] *= -1
+            Tg = np.array([0.1 * i - 0.3, 0.05 * f, 0.8], np.float32)
+            qp[f, cursor:cursor + take] = m.points[sel_rows] @ Rg.T + Tg
+            xy[f, cursor:cursor + take] = rng.uniform(30, 600, (take, 2))
+            dsc[f, cursor:cursor + take] = m.descriptors[sel_rows]
+            ok[f, cursor:cursor + take] = True
+            cursor += take
+    cfg = FusedDetectorConfig(
+        pipeline="segmented", radius=60.0, q_cap=q_n,
+        coarse_stride=3, fine_width=fine_width,
+        activation=ActivationConfig(m_cap=64, n_hypotheses=64,
+                                    object_batch=2, prescreen=0),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
+                                max_instances=2),
+            max_matches_per_object=64, max_active_objects=4,
+            object_batch=2))
+
+    stacked, ids = pack_segmented_sharded(models, n_shards=4, db_chunk=2048)
+    cstacked, _ = pack_segmented_sharded(
+        subsample_models(models, cfg.coarse_stride), n_shards=4,
+        db_chunk=2048)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    with mesh:
+        fn = serving_step_sharded(mesh, cfg,
+                                  fine_max_chunks=stacked_max_chunks(stacked))
+        det_s = fn(keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
+                   jnp.asarray(dsc), stacked, cstacked)
+
+    by_id = {m.object_id: m for m in models}
+    ordered = [by_id[i] for i in ids]
+    db1 = pack_segmented(ordered, db_chunk=2048)
+    cdb1 = pack_segmented(subsample_models(ordered, cfg.coarse_stride),
+                          db_chunk=2048)
+    for f in range(2):
+        dc1, _ = object_top1(jnp.asarray(dsc[f]), cdb1, db_chunk=2048)
+        sel1 = coarse_select(dc1, jnp.asarray(ok[f]), cfg.radius,
+                             cfg.coarse_slack, cfg.fine_width,
+                             cfg.activation.prescreen_top)
+        df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
+                                            db_chunk=2048)
+        _, det_1 = jax.jit(detect_frame_gathered,
+                           static_argnums=(10, 11, 12))(
+            keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
+            jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
+            cfg.guess, cfg.activation, cfg.radius)
+        np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
+                                      np.asarray(det_1.accepted))
+        acc = np.asarray(det_1.accepted)
+        np.testing.assert_allclose(np.asarray(det_s.T[f])[acc],
+                                   np.asarray(det_1.T)[acc], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(det_s.n_inliers[f]),
+                                      np.asarray(det_1.n_inliers))
+    assert np.asarray(det_s.accepted).any()

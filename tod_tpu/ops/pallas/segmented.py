@@ -435,9 +435,12 @@ def object_top1_gathered_xla(query_u8: jax.Array, db: SegmentedDb,
 
 def object_top1_gathered(query_u8: jax.Array, db: SegmentedDb,
                          sel: jax.Array, max_chunks: int,
-                         q_tile: int = Q_TILE) -> Tuple[jax.Array, jax.Array]:
+                         q_tile: int = Q_TILE,
+                         vary: Tuple[str, ...] = ()
+                         ) -> Tuple[jax.Array, jax.Array]:
     """Backend dispatch: gathered Mosaic kernel on TPU, full-sweep gather
-    on CPU."""
+    on CPU. ``vary``: mesh axes the operands vary over (forwarded to the
+    XLA path's pvary annotations for shard_map's varying-type checks)."""
     if jax.default_backend() == "cpu":
-        return object_top1_gathered_xla(query_u8, db, sel)
+        return object_top1_gathered_xla(query_u8, db, sel, vary=vary)
     return object_top1_gathered_fused(query_u8, db, sel, max_chunks, q_tile)

@@ -147,7 +147,21 @@ def pack_segmented_l2_sharded(models: Sequence[TodModel], n_shards: int,
     return stacked, ids
 
 
-def serving_step_sharded(mesh: Mesh, cfg):
+def stacked_max_chunks(sdb_st) -> int:
+    """Largest per-object chunk count across the shards of a stacked
+    SegmentedDb — the static grid operand for the gathered fine kernel
+    under shard_map (one program serves every shard, so the max rules)."""
+    starts = np.asarray(jax.device_get(sdb_st.obj_start))      # (S, O)
+    total = int(sdb_st.chunk_obj.shape[1])
+    db_chunk = int(sdb_st.bits_t.shape[2]) // total
+    out = 0
+    for s in range(starts.shape[0]):
+        bounds = np.concatenate([starts[s] // db_chunk, [total]])
+        out = max(out, int(np.max(np.diff(bounds))))
+    return out
+
+
+def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     """The multi-chip segmented SERVING step (VERDICT r2 item 6): one
     shard_map program covering matching + tier-1 activation + tier-2
     certified RANSAC.
@@ -176,26 +190,51 @@ def serving_step_sharded(mesh: Mesh, cfg):
     sdb_stacked) -> ObjectDetections (B, O_total, I, ...)`` requiring B
     divisible by n_data and min(max_active_objects, O_total) divisible by
     n_db.
+
+    Coarse→fine (``cfg.coarse_stride > 0``, Hamming DBs only): the returned
+    fn takes an extra trailing ``cdb_stacked`` (the stride-subsampled
+    companion, packed with the SAME shard split), and ``fine_max_chunks``
+    must be ``stacked_max_chunks(sdb_stacked)``. Each shard coarse-sweeps
+    its own objects; the gathered (Q, O) coarse result picks the global
+    top-``fine_width`` slab; each shard fine-matches the selected objects
+    it owns with the gathered kernel; a pmin of packed (dist, row) keys
+    over 'db' assembles the exact slab; tier-1/tier-2 then run on slab
+    SLOTS sharded positionally over 'db' — bitwise-identical to the
+    single-device coarse→fine path (parity test), with ``fine_width`` and
+    ``min(prescreen, fine_width)`` required to divide n_db.
     """
     from tod_tpu.geometry.adjacency import fill_adjacency
     from tod_tpu.geometry.detection import (build_object_stores,
-                                            prescreen_scores,
+                                            coarse_select, prescreen_scores,
                                             scatter_detections)
     from tod_tpu.geometry.ransac import (ObjectDetections,
                                          detect_object_instances,
                                          presence_score)
+    from tod_tpu.ops.pallas.segmented import (ROW_BITS, ROW_MASK,
+                                              object_top1_gathered)
 
     act = cfg.activation
     guess = cfg.guess
     n_db = mesh.shape["db"]
+    coarse = getattr(cfg, "coarse_stride", 0) > 0
+    if coarse and fine_max_chunks <= 0:
+        raise ValueError("coarse_stride > 0 requires fine_max_chunks="
+                         "stacked_max_chunks(sdb_stacked)")
 
-    def local(keys, xy, qp, ok, dsc, sdb_st):
+    def local(keys, xy, qp, ok, dsc, sdb_st, *cdb_rest):
         sdb = jax.tree.map(lambda x: x[0], sdb_st)       # this device's shard
+        cdb = (jax.tree.map(lambda x: x[0], cdb_rest[0]) if coarse else None)
         s = jax.lax.axis_index("db")
         o_local = sdb.spans.shape[0]
         r_shard = sdb.points.shape[0]
         n_objects = o_local * n_db
-        n_active = min(guess.max_active_objects, n_objects)
+        # the object axis tier-1/tier-2 operate on: the full catalog, or —
+        # in coarse->fine mode — the selected top-fine_width slab
+        axis_n = min(cfg.fine_width, n_objects) if coarse else n_objects
+        if coarse:
+            assert axis_n % n_db == 0, \
+                f"fine_width ({axis_n}) must divide by n_db ({n_db})"
+        n_active = min(guess.max_active_objects, axis_n)
         assert n_active % n_db == 0, \
             f"max_active_objects ({n_active}) must divide by n_db ({n_db})"
         per_dev = n_active // n_db
@@ -208,11 +247,42 @@ def serving_step_sharded(mesh: Mesh, cfg):
         spans_full = jax.lax.all_gather(sdb.spans, "db", axis=0, tiled=True)
 
         def per_frame(key, xy_f, qp_f, ok_f, dsc_f):
-            d_loc, r_loc = _top1_for(sdb)(dsc_f, sdb, vary=("data", "db"))
-            d = jax.lax.all_gather(d_loc, "db", axis=1, tiled=True)  # (Q, O)
-            r = jax.lax.all_gather(r_loc, "db", axis=1, tiled=True)
+            if coarse:
+                # coarse sweep over this shard's subsampled objects; the
+                # gathered (Q, O) result is identical on every device, so
+                # the top-fine_width selection is too
+                dc_loc, _ = _top1_for(cdb)(dsc_f, cdb, vary=("data", "db"))
+                dc = jax.lax.all_gather(dc_loc, "db", axis=1, tiled=True)
+                sel = coarse_select(dc, ok_f, cfg.radius, cfg.coarse_slack,
+                                    cfg.fine_width, act.prescreen_top)
+                # fine pass: each shard exact-matches the selected objects
+                # it owns (global axis is shard-major: owner = id // o_local)
+                own = (sel // o_local) == s
+                sel_local = jnp.where(own, sel % o_local, -1).astype(
+                    jnp.int32)
+                df, rf = object_top1_gathered(dsc_f, sdb, sel_local,
+                                              fine_max_chunks,
+                                              vary=("data", "db"))
+                # disjoint columns across shards (each object has ONE
+                # owner); unowned slots carry KEY_INVALID-packed holes, so
+                # a pmin of packed keys assembles the exact (Q, C) slab
+                keyz = (df.astype(jnp.int32) << ROW_BITS) | rf
+                keyz = jax.lax.pmin(keyz, "db")
+                d = (keyz >> ROW_BITS).astype(jnp.float32)
+                r = keyz & ROW_MASK
+            else:
+                d_loc, r_loc = _top1_for(sdb)(dsc_f, sdb,
+                                              vary=("data", "db"))
+                d = jax.lax.all_gather(d_loc, "db", axis=1, tiled=True)
+                r = jax.lax.all_gather(r_loc, "db", axis=1, tiled=True)
             key_act, key_det = jax.random.split(key)
             level = jnp.median(d, axis=1)
+            if coarse:
+                axis_obj_start = obj_start_full[sel]
+                axis_spans = spans_full[sel]
+            else:
+                axis_obj_start = obj_start_full
+                axis_spans = spans_full
 
             # ---- tier 1, sharded over 'db' --------------------------------
             # after the (Q, O) all_gather every device can score ANY object
@@ -223,16 +293,16 @@ def serving_step_sharded(mesh: Mesh, cfg):
             def tier1(args):
                 key_o, o = args
                 m = build_object_stores(d, r, ok_f, qp_f, xy_f, points_full,
-                                        obj_start_full, o[None], act.m_cap,
+                                        axis_obj_start, o[None], act.m_cap,
                                         cfg.radius, level)
                 m = jax.tree.map(lambda x: x[0], m)
-                graphs = fill_adjacency(m, spans_full[o], guess.sensor_error)
+                graphs = fill_adjacency(m, axis_spans[o], guess.sensor_error)
                 return presence_score(key_o, m, graphs, act.n_hypotheses,
                                       guess.sensor_error)
 
-            n_pre = (min(act.prescreen, n_objects) if act.prescreen > 0
-                     else n_objects)
-            if n_pre < n_objects:
+            n_pre = (min(act.prescreen, axis_n) if act.prescreen > 0
+                     else axis_n)
+            if n_pre < axis_n:
                 assert n_pre % n_db == 0, \
                     f"prescreen ({n_pre}) must divide by n_db ({n_db})"
                 per_dev_pre = n_pre // n_db
@@ -250,17 +320,18 @@ def serving_step_sharded(mesh: Mesh, cfg):
                     batch_size=min(act.object_batch, max(per_dev_pre, 1)))
                 scores_pre = jax.lax.all_gather(scores_loc, "db", axis=0,
                                                 tiled=True)
-                scores = jnp.zeros(n_objects, scores_pre.dtype).at[
+                scores = jnp.zeros(axis_n, scores_pre.dtype).at[
                     pre_ids].set(scores_pre)
             else:
+                ax_local = axis_n // n_db
                 keys1 = jax.lax.dynamic_slice_in_dim(
-                    jax.random.split(key_act, n_objects), s * o_local,
-                    o_local)
-                local_ids = s * o_local + jnp.arange(o_local,
-                                                     dtype=jnp.int32)
+                    jax.random.split(key_act, axis_n), s * ax_local,
+                    ax_local)
+                local_ids = s * ax_local + jnp.arange(ax_local,
+                                                      dtype=jnp.int32)
                 scores_loc = jax.lax.map(
                     tier1, (keys1, local_ids),
-                    batch_size=min(act.object_batch, max(o_local, 1)))
+                    batch_size=min(act.object_batch, max(ax_local, 1)))
                 scores = jax.lax.all_gather(scores_loc, "db", axis=0,
                                             tiled=True)
 
@@ -271,10 +342,10 @@ def serving_step_sharded(mesh: Mesh, cfg):
             my_active = jax.lax.dynamic_slice_in_dim(active, s * per_dev,
                                                      per_dev)
             stores = build_object_stores(d, r, ok_f, qp_f, xy_f, points_full,
-                                         obj_start_full, my_active,
+                                         axis_obj_start, my_active,
                                          guess.max_matches_per_object,
                                          cfg.radius, level)
-            act_spans = spans_full[jnp.maximum(my_active, 0)]
+            act_spans = axis_spans[jnp.maximum(my_active, 0)]
             keys2 = jax.lax.dynamic_slice_in_dim(
                 jax.random.split(key_det, n_active), s * per_dev, per_dev)
 
@@ -292,7 +363,12 @@ def serving_step_sharded(mesh: Mesh, cfg):
             det_all = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, "db", axis=0, tiled=True),
                 det)
-            return scatter_detections(det_all, active, n_objects)
+            out = scatter_detections(det_all, active, axis_n)
+            if coarse:
+                # slab slots -> full object axis (same second scatter the
+                # single-device gathered path does)
+                out = scatter_detections(out, sel, n_objects)
+            return out
 
         det = jax.vmap(per_frame)(keys, xy, qp, ok, dsc)
         # all 'db' devices now hold identical values; replicate type-safely
@@ -306,10 +382,10 @@ def serving_step_sharded(mesh: Mesh, cfg):
 
         return jax.tree.map(repl, det)
 
+    in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"),
+                P("db")) + ((P("db"),) if coarse else ())
     fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
-                  P("db")),
+        local, mesh=mesh, in_specs=in_specs,
         out_specs=jax.tree.map(lambda _: P("data"),
                                ObjectDetections(0, 0, 0, 0)))
     return jax.jit(fn)

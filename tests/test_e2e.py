@@ -382,3 +382,46 @@ def test_coarse_fine_detector_recovers_poses(trained):
         dt, ang = _pose_errors(best, gt_R, gt_T)
         assert dt < 0.02, f"{oid}: translation error {dt:.4f} m"
         assert ang < 5.0, f"{oid}: rotation error {ang:.2f} deg"
+
+
+def test_update_models_hot_swap(trained):
+    """Hot catalog updates: with catalog_capacity/reserve_rows the detector
+    re-packs a changed catalog into IDENTICAL array shapes (the
+    compiled-program-reuse contract — the jitted coarse stages must be the
+    very same objects), removed objects stop being reported, and an added
+    object is detected. Runtime analog of the reference matcher's model
+    re-load on parameter change (DescriptorMatcher.cpp:61-129)."""
+    import jax
+
+    from tod_tpu.geometry.detection import ActivationConfig
+
+    objects, db = trained
+    models = load_models_for_objects(db, "all")
+    assert max(m.n_points for m in models) <= 16384, \
+        "fixture outgrew the test reservation"
+    cfg = FusedDetectorConfig(
+        n_features=1500, pipeline="segmented", q_cap=1024, radius=50.0,
+        catalog_capacity=3, reserve_rows=16384,
+        coarse_stride=3, fine_width=3,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01),
+            max_active_objects=2))
+    det = FusedDetector([models[0]], cfg)
+    shapes0 = jax.tree.map(lambda x: (x.shape, x.dtype), det.sdb)
+    coarse0 = det._coarse
+    image, depth, poses = _scene(objects)
+
+    found = {r.object_id for r in det.detect(image, depth, DEFAULT_K)}
+    assert OBJECT_IDS[0] in found and OBJECT_IDS[1] not in found
+
+    det.update_models(models)          # add obj_beta into a spare slot
+    assert jax.tree.map(lambda x: (x.shape, x.dtype), det.sdb) == shapes0
+    assert det._coarse is coarse0      # no re-jit: same compiled stages
+    found = {r.object_id for r in det.detect(image, depth, DEFAULT_K)}
+    assert set(OBJECT_IDS) <= found
+
+    det.update_models([models[1]])     # drop obj_alpha
+    assert jax.tree.map(lambda x: (x.shape, x.dtype), det.sdb) == shapes0
+    found = {r.object_id for r in det.detect(image, depth, DEFAULT_K)}
+    assert OBJECT_IDS[1] in found and OBJECT_IDS[0] not in found

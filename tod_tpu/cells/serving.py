@@ -106,6 +106,15 @@ class SegmentedDetector(Cell):
         p.declare("fine_width",
                   "Objects surviving the coarse screen (the exact-match "
                   "set).", default=128)
+        p.declare("catalog_capacity",
+                  "Pad the catalog to this many object slots at pack time "
+                  "so update_models() can hot-add objects without changing "
+                  "array shapes (every compiled program is reused). 0 = "
+                  "pack exactly.", default=0)
+        p.declare("reserve_rows",
+                  "Per-object-slot row reservation (poisoned padding) for "
+                  "shape-stable hot catalog updates. 0 = no reservation.",
+                  default=0)
         p.declare("seed", "PRNG seed for hypothesis sampling.", default=0)
         p.declare("visualize", "Accepted for pipeline compatibility (pose "
                   "overlays are drawn by the PoseDrawer cell).",
@@ -164,6 +173,8 @@ class SegmentedDetector(Cell):
             min_confidence=float(self.params["min_confidence"]),
             coarse_stride=int(self.params["coarse_stride"]),
             fine_width=int(self.params["fine_width"]),
+            catalog_capacity=int(self.params["catalog_capacity"]),
+            reserve_rows=int(self.params["reserve_rows"]),
             activation=ActivationConfig(
                 m_cap=int(self.params["activation_m_cap"]),
                 n_hypotheses=int(self.params["activation_hypotheses"]),

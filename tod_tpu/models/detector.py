@@ -79,6 +79,8 @@ class TodDetector(BlackBox):
                              Forward("min_confidence"),
                              Forward("coarse_stride"),
                              Forward("fine_width"),
+                             Forward("catalog_capacity"),
+                             Forward("reserve_rows"),
                              Forward("seed")]}
             i = {"passthrough": [Forward("image"), Forward("K_image")],
                  "depth_map": [Forward("depth_in", "depth")]}

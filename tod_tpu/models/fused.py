@@ -96,6 +96,15 @@ class FusedDetectorConfig:
     # operating point at 100 objects).
     coarse_stride: int = 0
     fine_width: int = 128
+    # Hot catalog updates (segmented pipeline): pad the catalog to
+    # ``catalog_capacity`` object slots (empty models) and reserve
+    # ``reserve_rows`` poisoned rows per slot at pack time. With both set,
+    # update_models() re-packs within the SAME array shapes, so every
+    # compiled program is reused — an object swap costs one upload, not a
+    # recompile. 0 = pack exactly (update_models still works; a shape
+    # change just recompiles on next dispatch).
+    catalog_capacity: int = 0
+    reserve_rows: int = 0
     coarse_slack: float = 16.0  # coarse in-radius cut at radius + slack:
                                 # subsampled top-1 distances are biased up
     min_confidence: float = 0.0
@@ -420,31 +429,10 @@ class FusedDetector:
                 "pipeline only (pipeline='segmented'); the TodDetector "
                 "cell graph covers the global-kNN SIFT contract")
         if self.segmented:
-            if self.config.feature == "SIFT":
-                from tod_tpu.ops.pallas.segmented_l2 import pack_segmented_l2
-                self.sdb = pack_segmented_l2(models)
-            else:
-                self.sdb = pack_segmented(models)
-            self.object_ids = [m.object_id for m in models]
             self._stages = _jitted_segmented_stages(self.config)
             self._coarse = None
-            if self.config.coarse_stride > 0 and models:
-                if self.config.feature == "SIFT":
-                    raise ValueError(
-                        "coarse_stride (coarse->fine matching) is "
-                        "implemented for the ORB/Hamming path")
-                self.cdb = pack_segmented(
-                    subsample_models(models, self.config.coarse_stride))
-                max_chunks = max_chunks_per_object(self.sdb)
-                cfg = self.config
-                self._coarse = (
-                    jax.jit(functools.partial(_stage_coarse_select,
-                                              cfg=cfg)),
-                    jax.jit(functools.partial(object_top1_gathered,
-                                              max_chunks=max_chunks)),
-                    jax.jit(functools.partial(_stage_geometry_gathered,
-                                              cfg=cfg)),
-                )
+            self._coarse_max_chunks = 0
+            self._pack_catalog(models)
         else:
             self.db, self.object_ids = pack_models(models,
                                                    self.config.db_chunk)
@@ -454,6 +442,70 @@ class FusedDetector:
                                  # exact sweep: coarse->fine is a perf
                                  # mode, not a semantics change)
         self._key = jax.random.PRNGKey(seed)
+
+    def _pack_catalog(self, models: Sequence[TodModel]) -> None:
+        """Pack (or re-pack) the segmented model DB, honoring the configured
+        catalog capacity / per-slot row reservation (empty pad slots never
+        match and are never reported)."""
+        cfg = self.config
+        models = list(models)
+        if cfg.catalog_capacity > len(models):
+            empty_desc = np.zeros(
+                (0, 128 if cfg.feature == "SIFT" else 32),
+                np.float32 if cfg.feature == "SIFT" else np.uint8)
+            models += [TodModel("", empty_desc, np.zeros((0, 3), np.float32))
+                       for _ in range(cfg.catalog_capacity - len(models))]
+        if cfg.feature == "SIFT":
+            from tod_tpu.ops.pallas.segmented_l2 import pack_segmented_l2
+            self.sdb = pack_segmented_l2(models,
+                                         reserve_rows=cfg.reserve_rows)
+        else:
+            self.sdb = pack_segmented(models, reserve_rows=cfg.reserve_rows)
+        self.object_ids = [m.object_id for m in models]
+        if cfg.coarse_stride > 0 and models:
+            if cfg.feature == "SIFT":
+                raise ValueError("coarse_stride (coarse->fine matching) is "
+                                 "implemented for the ORB/Hamming path")
+            c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
+            self.cdb = pack_segmented(
+                subsample_models(models, cfg.coarse_stride),
+                reserve_rows=c_reserve)
+            max_chunks = max_chunks_per_object(self.sdb)
+            # a larger-than-needed static grid is correct (padding steps
+            # fold into the trash lane), so growing catalogs only re-jit
+            # the gathered stage when an object actually exceeds the
+            # largest chunk count seen so far
+            if self._coarse is None \
+                    or max_chunks > self._coarse_max_chunks:
+                self._coarse_max_chunks = max(max_chunks,
+                                              self._coarse_max_chunks)
+                self._coarse = (
+                    jax.jit(functools.partial(_stage_coarse_select,
+                                              cfg=cfg)),
+                    jax.jit(functools.partial(
+                        object_top1_gathered,
+                        max_chunks=self._coarse_max_chunks)),
+                    jax.jit(functools.partial(_stage_geometry_gathered,
+                                              cfg=cfg)),
+                )
+
+    def update_models(self, models: Sequence[TodModel]) -> None:
+        """Hot catalog update for the serving (segmented) pipeline: re-pack
+        and swap the model DB without touching the jitted stages — the
+        runtime analog of the reference matcher's model re-load on
+        parameter change (DescriptorMatcher.cpp:61-129), minus the pause.
+
+        When the detector was built with ``catalog_capacity`` /
+        ``reserve_rows`` and the new catalog fits (same slot count, every
+        object within the reservation), the re-packed arrays have identical
+        shapes, every compiled program is reused, and the swap costs one
+        host->device upload. A catalog that outgrows its reservation still
+        works — the shape change just recompiles on next dispatch."""
+        if not self.segmented:
+            raise ValueError("update_models is a segmented-pipeline API; "
+                             "rebuild the FusedDetector for the global-kNN "
+                             "path")
+        self._pack_catalog(models)
 
     def prepare_frame(self, image: np.ndarray, depth: np.ndarray,
                       K: np.ndarray):

@@ -69,9 +69,15 @@ class SegmentedDb(NamedTuple):
     chunk_base: jax.Array  # (n_chunks,) int32 first row-within-object
 
 
-def pack_segmented(models: Sequence, db_chunk: int = DB_CHUNK
-                   ) -> SegmentedDb:
-    """Pack TodModels into the segmented layout (host-side, at load time)."""
+def pack_segmented(models: Sequence, db_chunk: int = DB_CHUNK,
+                   reserve_rows: int = 0) -> SegmentedDb:
+    """Pack TodModels into the segmented layout (host-side, at load time).
+
+    ``reserve_rows``: pad EVERY object's segment to at least this many rows
+    (poisoned padding, never matches). With a uniform reservation the packed
+    array shapes are a function of (n_objects, reserve) alone, so a later
+    re-pack after swapping models reuses every compiled program —
+    the hot-catalog-update path (FusedDetector.update_models)."""
     descs, pts, starts, nrows, spans = [], [], [], [], []
     chunk_obj, chunk_base = [], []
     cursor = 0
@@ -82,7 +88,7 @@ def pack_segmented(models: Sequence, db_chunk: int = DB_CHUNK
                 f"object {o} has {n} rows > 2^{ROW_BITS}: the key packing "
                 "(dist << 18 | row) would silently corrupt results — split "
                 "the model or raise ROW_BITS")
-        n_pad = -(-max(n, 1) // db_chunk) * db_chunk
+        n_pad = -(-max(n, 1, reserve_rows) // db_chunk) * db_chunk
         d = np.zeros((n_pad, 32), np.uint8)
         d[:n] = m.descriptors
         p = np.zeros((n_pad, 3), np.float32)

@@ -64,9 +64,12 @@ class SegmentedDbF(NamedTuple):
     chunk_base: jax.Array  # (n_chunks,) int32 first row-within-object
 
 
-def pack_segmented_l2(models: Sequence, db_chunk: int = DB_CHUNK
-                      ) -> SegmentedDbF:
-    """Pack float-descriptor TodModels into the segmented layout."""
+def pack_segmented_l2(models: Sequence, db_chunk: int = DB_CHUNK,
+                      reserve_rows: int = 0) -> SegmentedDbF:
+    """Pack float-descriptor TodModels into the segmented layout.
+    ``reserve_rows``: uniform per-object row reservation (poisoned padding)
+    so re-packs after catalog updates keep the same array shapes — see
+    pack_segmented."""
     vecs, pts, starts, nrows, spans = [], [], [], [], []
     chunk_obj, chunk_base = [], []
     cursor = 0
@@ -76,7 +79,7 @@ def pack_segmented_l2(models: Sequence, db_chunk: int = DB_CHUNK
             raise ValueError(
                 f"object {o} has {n} rows > 2^{ROW_BITS}: row indices "
                 "would alias — split the model or raise ROW_BITS")
-        n_pad = -(-max(n, 1) // db_chunk) * db_chunk
+        n_pad = -(-max(n, 1, reserve_rows) // db_chunk) * db_chunk
         d = np.zeros((n_pad, 128), np.float32)
         d[:n] = m.descriptors
         p = np.zeros((n_pad, 3), np.float32)

@@ -434,6 +434,24 @@ def main():
                                  "the XLA reference on this hardware")
         log("pallas parity gate: segmented L2 kernel exact vs XLA ✓")
 
+        if int(os.environ.get("BENCH_COARSE", "0")) > 0:
+            from tod_tpu.ops.pallas.segmented_l2 import (
+                max_chunks_per_object_f, object_top1_l2_gathered_fused,
+                object_top1_l2_gathered_xla)
+
+            sel_g = jnp.asarray(np.array([5, 2, -1, 7, 0], np.int32))
+            maxc = max_chunks_per_object_f(sdb_g)
+            dh_f, ih_f = jax.jit(lambda qq: object_top1_l2_gathered_fused(
+                qq, sdb_g, sel_g, maxc))(qi)
+            dh_x, ih_x = jax.jit(lambda qq: object_top1_l2_gathered_xla(
+                qq, sdb_g, sel_g))(qi)
+            if not ((np.asarray(dh_f) == np.asarray(dh_x)).all()
+                    and (np.asarray(ih_f) == np.asarray(ih_x)).all()):
+                raise AssertionError("gathered L2 kernel diverges from the "
+                                     "XLA reference on this hardware")
+            log("pallas parity gate: gathered (coarse->fine) L2 kernel "
+                "exact vs XLA ✓")
+
     if jax.default_backend() != "cpu" \
             and all_models[0].descriptors.dtype == np.uint8:
         from tod_tpu.ops.matching import hamming_topk, pad_db

@@ -514,10 +514,108 @@ def test_serving_step_sharded_coarse_fine_matches_single_device(
     for f in range(2):
         dc1, _ = object_top1(jnp.asarray(dsc[f]), cdb1, db_chunk=2048)
         sel1 = coarse_select(dc1, jnp.asarray(ok[f]), cfg.radius,
-                             cfg.coarse_slack, cfg.fine_width,
+                             cfg.resolved_coarse_slack, cfg.fine_width,
                              cfg.activation.prescreen_top)
         df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
                                             db_chunk=2048)
+        _, det_1 = jax.jit(detect_frame_gathered,
+                           static_argnums=(10, 11, 12))(
+            keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
+            jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
+            cfg.guess, cfg.activation, cfg.radius)
+        np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
+                                      np.asarray(det_1.accepted))
+        acc = np.asarray(det_1.accepted)
+        np.testing.assert_allclose(np.asarray(det_s.T[f])[acc],
+                                   np.asarray(det_1.T)[acc], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(det_s.n_inliers[f]),
+                                      np.asarray(det_1.n_inliers))
+    assert np.asarray(det_s.accepted).any()
+
+
+def test_serving_step_sharded_coarse_fine_l2_matches_single_device(
+        devices8, rng):
+    """The multi-chip coarse->fine serving step on the SIFT/L2 path (float
+    DB, int8-quantized gathered fine kernel, pmin/psum slab merge) equals
+    the single-device L2 coarse->fine composition."""
+    from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
+                                            coarse_select,
+                                            detect_frame_gathered)
+    from tod_tpu.models.fused import FusedDetectorConfig
+    from tod_tpu.ops.pallas.segmented import subsample_models
+    from tod_tpu.ops.pallas.segmented_l2 import (
+        object_top1_l2, object_top1_l2_gathered_xla, pack_segmented_l2,
+        quantize_descriptors)
+    from tod_tpu.parallel import make_mesh
+    from tod_tpu.parallel.segmented import (pack_segmented_l2_sharded,
+                                            serving_step_sharded,
+                                            stacked_max_chunks)
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    models = []
+    for i in range(8):
+        n = 120 + 17 * i
+        d = rng.random((n, 128)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pts = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+        models.append(TodModel(f"o{i}", d, pts))
+    q_n = 256
+    qp = np.full((2, q_n, 3), np.nan, np.float32)
+    xy = np.zeros((2, q_n, 2), np.float32)
+    dsc_f32 = rng.random((2, q_n, 128)).astype(np.float32)
+    dsc_f32 /= np.linalg.norm(dsc_f32, axis=2, keepdims=True)
+    ok = np.zeros((2, q_n), bool)
+    for f in range(2):
+        cursor = 0
+        for i in (0, 3, 5):
+            m = models[i]
+            take = 50
+            sel_rows = rng.choice(m.n_points, take, replace=False)
+            Rg = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(Rg) < 0:
+                Rg[:, 0] *= -1
+            Tg = np.array([0.1 * i - 0.3, 0.05 * f, 0.8], np.float32)
+            qp[f, cursor:cursor + take] = m.points[sel_rows] @ Rg.T + Tg
+            xy[f, cursor:cursor + take] = rng.uniform(30, 600, (take, 2))
+            dsc_f32[f, cursor:cursor + take] = m.descriptors[sel_rows]
+            ok[f, cursor:cursor + take] = True
+            cursor += take
+    dsc = np.asarray(quantize_descriptors(jnp.asarray(dsc_f32)))
+    cfg = FusedDetectorConfig(
+        pipeline="segmented", feature="SIFT", radius=0.9, q_cap=q_n,
+        coarse_stride=3, fine_width=4,
+        activation=ActivationConfig(m_cap=64, n_hypotheses=64,
+                                    object_batch=2, prescreen=0),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
+                                max_instances=2),
+            max_matches_per_object=64, max_active_objects=4,
+            object_batch=2))
+
+    stacked, ids = pack_segmented_l2_sharded(models, n_shards=4,
+                                             db_chunk=2048)
+    cstacked, _ = pack_segmented_l2_sharded(
+        subsample_models(models, cfg.coarse_stride), n_shards=4,
+        db_chunk=2048)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    with mesh:
+        fn = serving_step_sharded(mesh, cfg,
+                                  fine_max_chunks=stacked_max_chunks(stacked))
+        det_s = fn(keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
+                   jnp.asarray(dsc), stacked, cstacked)
+
+    by_id = {m.object_id: m for m in models}
+    ordered = [by_id[i] for i in ids]
+    db1 = pack_segmented_l2(ordered, db_chunk=2048)
+    cdb1 = pack_segmented_l2(subsample_models(ordered, cfg.coarse_stride),
+                             db_chunk=2048)
+    for f in range(2):
+        dc1, _ = object_top1_l2(jnp.asarray(dsc[f]), cdb1, db_chunk=2048)
+        sel1 = coarse_select(dc1, jnp.asarray(ok[f]), cfg.radius,
+                             cfg.resolved_coarse_slack, cfg.fine_width,
+                             cfg.activation.prescreen_top)
+        df1, rf1 = object_top1_l2_gathered_xla(jnp.asarray(dsc[f]), db1,
+                                               sel1, db_chunk=2048)
         _, det_1 = jax.jit(detect_frame_gathered,
                            static_argnums=(10, 11, 12))(
             keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),

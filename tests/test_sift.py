@@ -255,3 +255,155 @@ def test_sift_train_detect_e2e():
     assert poses, "no pose found through the SIFT/L2 path"
     best = max(poses, key=lambda p: p.confidence)
     assert np.linalg.norm(best.T - gt_T) < 0.02
+
+
+def _l2_models(rng, sizes):
+    from tod_tpu.db.models import TodModel
+
+    models = []
+    for o, n in enumerate(sizes):
+        d = rng.random((n, 128)).astype(np.float32)
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        models.append(TodModel(f"m{o}", d,
+                               rng.random((n, 3)).astype(np.float32)))
+    return models
+
+
+def test_l2_gathered_interpret_matches_xla():
+    """The gathered L2 fine-pass kernel (interpret mode on CPU) is bitwise
+    equal to the XLA full-sweep gather: holes, out-of-order selection,
+    multi-chunk / single-row / zero-row objects."""
+    from tod_tpu.ops.pallas.segmented_l2 import (
+        HOLE_ROW_L2, max_chunks_per_object_f, object_top1_l2_gathered_fused,
+        object_top1_l2_gathered_xla, object_top1_l2_xla, pack_segmented_l2,
+        quantize_descriptors)
+
+    rng = np.random.default_rng(23)
+    models = _l2_models(rng, [500, 1100, 64, 1, 0])
+    db = pack_segmented_l2(models, db_chunk=256)
+    q = rng.random((128, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qi = jnp.asarray(quantize_descriptors(jnp.asarray(q)))
+    maxc = max_chunks_per_object_f(db)
+    assert maxc == 5  # 1100 rows / 256 chunk
+
+    sel = jnp.asarray(np.array([3, -1, 0, 4, 2], np.int32))
+    d_x, i_x = object_top1_l2_gathered_xla(qi, db, sel, db_chunk=256)
+    d_f, i_f = object_top1_l2_gathered_fused(qi, db, sel, maxc, q_tile=128)
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_f))
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
+    assert (np.asarray(i_f)[:, 1] == HOLE_ROW_L2).all()
+    d_full, i_full = object_top1_l2_xla(qi, db, db_chunk=256)
+    # hole slots report exactly the never-taken-lane value (beyond any
+    # real distance)
+    assert (np.asarray(d_f)[:, 1] > np.asarray(d_full).max()).all()
+    for c, o in enumerate([3, -1, 0, 4, 2]):
+        if o < 0:
+            continue
+        np.testing.assert_array_equal(np.asarray(d_f)[:, c],
+                                      np.asarray(d_full)[:, o])
+        np.testing.assert_array_equal(np.asarray(i_f)[:, c],
+                                      np.asarray(i_full)[:, o])
+
+
+def test_l2_gathered_under_jit_with_traced_sel():
+    """The coarse screen computes the selection inside jit; the L2 gathered
+    kernel's scalar-prefetch operands must trace."""
+    import jax
+
+    from tod_tpu.ops.pallas.segmented_l2 import (
+        max_chunks_per_object_f, object_top1_l2_gathered, object_top1_l2_xla,
+        pack_segmented_l2, quantize_descriptors)
+
+    rng = np.random.default_rng(29)
+    models = _l2_models(rng, [300, 700, 77])
+    db = pack_segmented_l2(models, db_chunk=256)
+    q = rng.random((128, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qi = jnp.asarray(quantize_descriptors(jnp.asarray(q)))
+    maxc = max_chunks_per_object_f(db)
+
+    @jax.jit
+    def run(qq, order_scores):
+        _, sel = jax.lax.top_k(order_scores, 2)
+        return object_top1_l2_gathered(qq, db, sel.astype(jnp.int32), maxc)
+
+    d, _ = run(qi, jnp.asarray([0.1, 0.9, 0.5]))
+    d_full, _ = object_top1_l2_xla(qi, db, db_chunk=256)
+    np.testing.assert_array_equal(np.asarray(d)[:, 0],
+                                  np.asarray(d_full)[:, 1])
+    np.testing.assert_array_equal(np.asarray(d)[:, 1],
+                                  np.asarray(d_full)[:, 2])
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="compiled Mosaic kernel needs TPU")
+def test_l2_gathered_compiled_matches_xla_on_tpu():
+    from tod_tpu.ops.pallas.segmented_l2 import (
+        max_chunks_per_object_f, object_top1_l2_gathered_fused,
+        object_top1_l2_gathered_xla, pack_segmented_l2,
+        quantize_descriptors)
+
+    rng = np.random.default_rng(31)
+    models = _l2_models(rng, [9000, 5000, 12000, 100, 6000])
+    db = pack_segmented_l2(models)
+    q = rng.random((1024, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qi = jnp.asarray(quantize_descriptors(jnp.asarray(q)))
+    maxc = max_chunks_per_object_f(db)
+    sel = jnp.asarray(np.array([4, 2, -1, 0], np.int32))
+    d_x, i_x = jax.jit(
+        lambda qq: object_top1_l2_gathered_xla(qq, db, sel))(qi)
+    d_f, i_f = jax.jit(
+        lambda qq: object_top1_l2_gathered_fused(qq, db, sel, maxc))(qi)
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_f))
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
+
+
+def test_sift_coarse_fine_fused_detector():
+    """SIFT/L2 coarse->fine serving end to end: train a SIFT model through
+    the real trainer, detect with coarse_stride > 0 (coarse subsampled L2
+    sweep -> gathered exact fine pass -> slab geometry), pose recovered."""
+    from tod_tpu.db import (InMemoryDb, insert_observation,
+                            load_models_for_objects)
+    from tod_tpu.geometry.detection import ActivationConfig, GuessConfig
+    from tod_tpu.geometry.ransac import RansacConfig
+    from tod_tpu.models import FusedDetector, FusedDetectorConfig, TodTrainer
+
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("sift_cf")
+    hw = (240, 320)
+    K = DEFAULT_K.copy()
+    K[:2] //= 2
+    obj = SyntheticObject.make("sift_cf_obj", seed=56)
+    for obs in turntable_observations(obj, n_views=6,
+                                      elevations_deg=(65.0,),
+                                      hw=hw, K=K):
+        insert_observation(db, "sift_cf_obj", obs["frame_number"],
+                           obs["image"], obs["depth"], obs["mask"],
+                           obs["K"], obs["R"], obs["T"])
+    TodTrainer(
+        "t", object_id="sift_cf_obj",
+        json_db=json.dumps({"type": "mem", "collection": "sift_cf"}),
+        json_feature_params=json.dumps(
+            {"type": "SIFT", "n_features": 400})).process()
+    models = load_models_for_objects(db, "all")
+
+    rng = np.random.default_rng(4)
+    gt_R, gt_T = facing_pose(rng, z=0.75, max_tilt=0.25, xy_extent=0.05)
+    image, depth = compose_scene([obj], [(gt_R, gt_T)], hw=hw, K=K)
+
+    cfg = FusedDetectorConfig(
+        feature="SIFT", pipeline="segmented", n_features=800, q_cap=512,
+        radius=0.9, coarse_stride=2, fine_width=1,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01),
+            max_active_objects=1))
+    det = FusedDetector(models, cfg)
+    assert det._coarse is not None
+    results = det.detect(image, depth, K)
+    assert results, "no pose through the SIFT coarse->fine path"
+    best = max(results, key=lambda p: p.confidence)
+    assert np.linalg.norm(best.T - gt_T) < 0.02
+    InMemoryDb.reset_shared()

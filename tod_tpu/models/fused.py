@@ -105,8 +105,11 @@ class FusedDetectorConfig:
     # change just recompiles on next dispatch).
     catalog_capacity: int = 0
     reserve_rows: int = 0
-    coarse_slack: float = 16.0  # coarse in-radius cut at radius + slack:
-                                # subsampled top-1 distances are biased up
+    coarse_slack: Optional[float] = None
+                                # coarse in-radius cut at radius + slack:
+                                # subsampled top-1 distances are biased up.
+                                # None = feature default (16 Hamming units
+                                # for ORB, 0.15 L2 units for SIFT)
     min_confidence: float = 0.0
                                 # serving-side acceptance gate: drop poses
                                 # whose inlier count is below this AFTER
@@ -120,6 +123,13 @@ class FusedDetectorConfig:
         if self.matcher == "auto":
             return jax.default_backend() != "cpu"
         return self.matcher == "pallas"
+
+    @property
+    def resolved_coarse_slack(self) -> float:
+        """coarse_slack in the feature's distance units (None = default)."""
+        if self.coarse_slack is not None:
+            return self.coarse_slack
+        return 0.15 if self.feature == "SIFT" else 16.0
 
 
 class ModelDb(NamedTuple):
@@ -380,10 +390,13 @@ def _stage_geometry_segmented(key, xy, qp, ok, dist_qo, rows_qo,
         cfg.guess, cfg.activation, cfg.radius)[1]
 
 
-def _stage_coarse_select(dsc, ok, cdb: SegmentedDb,
-                         cfg: FusedDetectorConfig):
-    dist_c, _ = object_top1(dsc, cdb)
-    return coarse_select(dist_c, ok, cfg.radius, cfg.coarse_slack,
+def _stage_coarse_select(dsc, ok, cdb, cfg: FusedDetectorConfig):
+    if isinstance(cdb, SegmentedDb):
+        dist_c, _ = object_top1(dsc, cdb)
+    else:
+        from tod_tpu.ops.pallas.segmented_l2 import object_top1_l2
+        dist_c, _ = object_top1_l2(dsc, cdb)
+    return coarse_select(dist_c, ok, cfg.radius, cfg.resolved_coarse_slack,
                          cfg.fine_width, cfg.activation.prescreen_top)
 
 
@@ -463,14 +476,19 @@ class FusedDetector:
             self.sdb = pack_segmented(models, reserve_rows=cfg.reserve_rows)
         self.object_ids = [m.object_id for m in models]
         if cfg.coarse_stride > 0 and models:
-            if cfg.feature == "SIFT":
-                raise ValueError("coarse_stride (coarse->fine matching) is "
-                                 "implemented for the ORB/Hamming path")
             c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
-            self.cdb = pack_segmented(
-                subsample_models(models, cfg.coarse_stride),
-                reserve_rows=c_reserve)
-            max_chunks = max_chunks_per_object(self.sdb)
+            sub = subsample_models(models, cfg.coarse_stride)
+            if cfg.feature == "SIFT":
+                from tod_tpu.ops.pallas.segmented_l2 import (
+                    max_chunks_per_object_f, object_top1_l2_gathered,
+                    pack_segmented_l2)
+                self.cdb = pack_segmented_l2(sub, reserve_rows=c_reserve)
+                gathered = object_top1_l2_gathered
+                max_chunks = max_chunks_per_object_f(self.sdb)
+            else:
+                self.cdb = pack_segmented(sub, reserve_rows=c_reserve)
+                gathered = object_top1_gathered
+                max_chunks = max_chunks_per_object(self.sdb)
             # a larger-than-needed static grid is correct (padding steps
             # fold into the trash lane), so growing catalogs only re-jit
             # the gathered stage when an object actually exceeds the
@@ -483,8 +501,7 @@ class FusedDetector:
                     jax.jit(functools.partial(_stage_coarse_select,
                                               cfg=cfg)),
                     jax.jit(functools.partial(
-                        object_top1_gathered,
-                        max_chunks=self._coarse_max_chunks)),
+                        gathered, max_chunks=self._coarse_max_chunks)),
                     jax.jit(functools.partial(_stage_geometry_gathered,
                                               cfg=cfg)),
                 )

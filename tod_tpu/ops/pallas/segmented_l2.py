@@ -275,3 +275,144 @@ def object_top1_l2(query_i8: jax.Array, db: SegmentedDbF,
     if jax.default_backend() == "cpu":
         return object_top1_l2_xla(query_i8, db, db_chunk, vary)
     return object_top1_l2_fused(query_i8, db, q_tile, db_chunk)
+
+
+# ---------------------------------------------------------------------------
+# Gathered (selected-object) variant: the fine pass of coarse->fine matching
+# for the L2/SIFT path. Mirrors the gathered Hamming kernel
+# (ops/pallas/segmented.py) — grid (q_tiles, C * max_chunks) with per-step
+# chunk/slot/row-base scalar-prefetch operands — but with the L2 kernel's
+# two-scratch (dist, row) fold and its lowest-row tie rule. Selected
+# objects' columns are bitwise identical to the full sweep; empty slots
+# (sel == -1) report the same values a never-taken lane emits:
+# dist = _to_l2(DIST_INVALID), row = 0.
+# ---------------------------------------------------------------------------
+
+HOLE_ROW_L2 = 0
+
+
+def max_chunks_per_object_f(db: SegmentedDbF) -> int:
+    """Largest per-object chunk count (static; one-time host download)."""
+    starts = np.asarray(jax.device_get(db.obj_start))
+    total = int(db.chunk_obj.shape[0])
+    if starts.size == 0:
+        return 0
+    db_chunk = db_chunk_of_f(db)
+    bounds = np.concatenate([starts // db_chunk, [total]])
+    return int(np.max(np.diff(bounds)))
+
+
+def _gathered_l2_kernel(chunk_ref, slot_ref, base_ref, q_ref, dbt_ref,
+                        norm_ref, qnorm_ref, out_d_ref, out_i_ref,
+                        best_d_ref, best_i_ref, *, n_steps: int,
+                        q_tile: int, o_pad: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d_ref[:] = jnp.full((q_tile, o_pad), DIST_INVALID, jnp.int32)
+        best_i_ref[:] = jnp.zeros((q_tile, o_pad), jnp.int32)
+
+    dot = jnp.dot(q_ref[:], dbt_ref[:], preferred_element_type=jnp.int32)
+    dist = qnorm_ref[:] + norm_ref[:] - 2 * dot
+    dmin = dist.min(axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    imin = jnp.where(dist == dmin, base_ref[j] + col,
+                     DIST_INVALID).min(axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q_tile, o_pad), 1)
+    # strict '<' + ascending step order per slot preserves the full
+    # sweep's earliest-chunk / lowest-row tie rule
+    take = (lane == slot_ref[j]) & (dmin < best_d_ref[:])
+    best_d_ref[:] = jnp.where(take, dmin, best_d_ref[:])
+    best_i_ref[:] = jnp.where(take, imin, best_i_ref[:])
+
+    @pl.when(j == n_steps - 1)
+    def _emit():
+        out_d_ref[:] = best_d_ref[:]
+        out_i_ref[:] = best_i_ref[:]
+
+
+def object_top1_l2_gathered_fused(query_i8: jax.Array, db: SegmentedDbF,
+                                  sel: jax.Array, max_chunks: int,
+                                  q_tile: int = Q_TILE
+                                  ) -> Tuple[jax.Array, jax.Array]:
+    """Per-(query, selected-object) nearest row over int8-quantized
+    descriptors; only the selected objects' chunks are visited. ``sel``:
+    (C,) int32 object indices, -1 = empty slot. Returns ``(dist (Q, C) f32
+    plain L2, row (Q, C) i32 within-object)``."""
+    from tod_tpu.ops.pallas.segmented import _gathered_steps
+
+    q = query_i8.shape[0]
+    c = sel.shape[0]
+    db_chunk = db_chunk_of_f(db)
+    if q % q_tile:
+        q_tile = next((t for t in (512, 256, 128) if q % t == 0), None)
+        if q_tile is None:
+            raise ValueError(f"Q ({q}) must be a multiple of 128")
+    o_pad = -(-(c + 1) // 128) * 128      # +1: trash lane for padding steps
+    n_steps = c * max_chunks
+    if n_steps == 0:
+        return (jnp.full((q, c), _to_l2(jnp.int32(DIST_INVALID)),
+                         jnp.float32),
+                jnp.full((q, c), HOLE_ROW_L2, jnp.int32))
+    chunk, slot, base = _gathered_steps(db, sel, max_chunks, db_chunk, c)
+
+    q_norm = (query_i8.astype(jnp.int32) ** 2).sum(axis=1)[:, None]
+    kernel = functools.partial(_gathered_l2_kernel, n_steps=n_steps,
+                               q_tile=q_tile, o_pad=o_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(q // q_tile, n_steps),
+        in_specs=[
+            pl.BlockSpec((q_tile, 128), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((128, db_chunk),
+                         lambda i, j, ck, sl, bs: (0, ck[j])),
+            pl.BlockSpec((1, db_chunk),
+                         lambda i, j, ck, sl, bs: (0, ck[j])),
+            pl.BlockSpec((q_tile, 1), lambda i, j, *_: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, o_pad), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((q_tile, o_pad), lambda i, j, *_: (i, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((q_tile, o_pad), jnp.int32),
+                        pltpu.VMEM((q_tile, o_pad), jnp.int32)],
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q, o_pad), jnp.int32),
+            jax.ShapeDtypeStruct((q, o_pad), jnp.int32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(chunk, slot, base, query_i8, db.vecs_t, db.norm_sq, q_norm)
+    return _to_l2(out_d[:, :c]), out_i[:, :c]
+
+
+def object_top1_l2_gathered_xla(query_i8: jax.Array, db: SegmentedDbF,
+                                sel: jax.Array,
+                                db_chunk: Optional[int] = None,
+                                vary: Tuple[str, ...] = ()
+                                ) -> Tuple[jax.Array, jax.Array]:
+    """XLA reference for :func:`object_top1_l2_gathered_fused`: the full
+    sweep's columns at ``sel`` (bitwise-identical contract)."""
+    d, r = object_top1_l2_xla(query_i8, db, db_chunk, vary)
+    sel_safe = jnp.maximum(sel, 0)
+    hole = (sel < 0)[None, :]
+    return (jnp.where(hole, _to_l2(jnp.int32(DIST_INVALID)), d[:, sel_safe]),
+            jnp.where(hole, HOLE_ROW_L2, r[:, sel_safe]))
+
+
+def object_top1_l2_gathered(query_i8: jax.Array, db: SegmentedDbF,
+                            sel: jax.Array, max_chunks: int,
+                            q_tile: int = Q_TILE,
+                            vary: Tuple[str, ...] = ()
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Backend dispatch: gathered Mosaic kernel on TPU, full-sweep gather
+    on CPU."""
+    if jax.default_backend() == "cpu":
+        return object_top1_l2_gathered_xla(query_i8, db, sel, vary=vary)
+    return object_top1_l2_gathered_fused(query_i8, db, sel, max_chunks,
+                                         q_tile)

@@ -153,7 +153,9 @@ def stacked_max_chunks(sdb_st) -> int:
     under shard_map (one program serves every shard, so the max rules)."""
     starts = np.asarray(jax.device_get(sdb_st.obj_start))      # (S, O)
     total = int(sdb_st.chunk_obj.shape[1])
-    db_chunk = int(sdb_st.bits_t.shape[2]) // total
+    rows_arr = (sdb_st.bits_t if isinstance(sdb_st, SegmentedDb)
+                else sdb_st.vecs_t)
+    db_chunk = int(rows_arr.shape[2]) // total
     out = 0
     for s in range(starts.shape[0]):
         bounds = np.concatenate([starts[s] // db_chunk, [total]])
@@ -191,7 +193,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     divisible by n_data and min(max_active_objects, O_total) divisible by
     n_db.
 
-    Coarse→fine (``cfg.coarse_stride > 0``, Hamming DBs only): the returned
+    Coarse→fine (``cfg.coarse_stride > 0``, Hamming or L2 DBs): the returned
     fn takes an extra trailing ``cdb_stacked`` (the stride-subsampled
     companion, packed with the SAME shard split), and ``fine_max_chunks``
     must be ``stacked_max_chunks(sdb_stacked)``. Each shard coarse-sweeps
@@ -253,23 +255,33 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 # the top-fine_width selection is too
                 dc_loc, _ = _top1_for(cdb)(dsc_f, cdb, vary=("data", "db"))
                 dc = jax.lax.all_gather(dc_loc, "db", axis=1, tiled=True)
-                sel = coarse_select(dc, ok_f, cfg.radius, cfg.coarse_slack,
+                sel = coarse_select(dc, ok_f, cfg.radius,
+                                    cfg.resolved_coarse_slack,
                                     cfg.fine_width, act.prescreen_top)
                 # fine pass: each shard exact-matches the selected objects
                 # it owns (global axis is shard-major: owner = id // o_local)
                 own = (sel // o_local) == s
                 sel_local = jnp.where(own, sel % o_local, -1).astype(
                     jnp.int32)
-                df, rf = object_top1_gathered(dsc_f, sdb, sel_local,
-                                              fine_max_chunks,
-                                              vary=("data", "db"))
                 # disjoint columns across shards (each object has ONE
-                # owner); unowned slots carry KEY_INVALID-packed holes, so
-                # a pmin of packed keys assembles the exact (Q, C) slab
-                keyz = (df.astype(jnp.int32) << ROW_BITS) | rf
-                keyz = jax.lax.pmin(keyz, "db")
-                d = (keyz >> ROW_BITS).astype(jnp.float32)
-                r = keyz & ROW_MASK
+                # owner): unowned slots carry hole values, so a pmin/psum
+                # merge over 'db' assembles the exact (Q, C) slab
+                if isinstance(sdb, SegmentedDbF):
+                    from tod_tpu.ops.pallas.segmented_l2 import (
+                        object_top1_l2_gathered)
+                    df, rf = object_top1_l2_gathered(dsc_f, sdb, sel_local,
+                                                     fine_max_chunks,
+                                                     vary=("data", "db"))
+                    d = jax.lax.pmin(df, "db")   # holes are huge L2 values
+                    r = jax.lax.psum(jnp.where(own[None, :], rf, 0), "db")
+                else:
+                    df, rf = object_top1_gathered(dsc_f, sdb, sel_local,
+                                                  fine_max_chunks,
+                                                  vary=("data", "db"))
+                    keyz = (df.astype(jnp.int32) << ROW_BITS) | rf
+                    keyz = jax.lax.pmin(keyz, "db")
+                    d = (keyz >> ROW_BITS).astype(jnp.float32)
+                    r = keyz & ROW_MASK
             else:
                 d_loc, r_loc = _top1_for(sdb)(dsc_f, sdb,
                                               vary=("data", "db"))

@@ -662,8 +662,20 @@ def main():
         lat.append(time.time() - t0)
     lat_ms = np.asarray(lat) * 1000.0
     lat_p50, lat_p95 = np.percentile(lat_ms, [50, 95])
+    # measure the pure sync overhead (dispatch-nothing + tiny download):
+    # the floor any hard-synced number pays through the tunnel; an
+    # on-device caller pays ~0, so latency - sync_overhead estimates the
+    # interactive rate production hardware would see
+    sync = []
+    tiny = out.accepted
+    for _ in range(10):
+        t0 = time.time()
+        np.asarray(jax.device_get(tiny))
+        sync.append(time.time() - t0)
+    sync_ms = float(np.percentile(np.asarray(sync) * 1000.0, 50))
     log(f"per-frame latency: p50 {lat_p50:.1f} ms / p95 {lat_p95:.1f} ms "
-        f"(hard sync per frame, tunnel RTT included)")
+        f"(hard sync per frame; measured sync overhead {sync_ms:.1f} ms "
+        f"is tunnel RTT an on-device caller would not pay)")
 
     # secondary: matcher-only throughput vs CPU brute force (the global
     # exact-kNN matcher, independent of the serving pipeline choice;
@@ -715,6 +727,7 @@ def main():
         "confidence_curve": {str(t): list(v) for t, v in curve.items()},
         "latency_ms_p50": round(float(lat_p50), 2),
         "latency_ms_p95": round(float(lat_p95), 2),
+        "sync_overhead_ms": round(sync_ms, 2),
         "shapes": os.environ.get("BENCH_SHAPES", "mixed"),
     }
     if os.environ.get("BENCH_NOISE"):

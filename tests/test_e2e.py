@@ -218,6 +218,47 @@ def test_segmented_detector_recovers_poses(trained):
         assert ang < 5.0, f"{oid}: rotation error {ang:.2f} deg"
 
 
+def test_segmented_detector_two_instances_same_object(trained):
+    """The reference's headline multi-instance behavior
+    (GuessGenerator.cpp:192-235 repeated RANSAC + inlier invalidation)
+    through the full serving pipeline: render the SAME trained object at
+    two poses in one scene and recover BOTH instances."""
+    from tod_tpu.geometry.detection import ActivationConfig
+
+    objects, db = trained
+    models = load_models_for_objects(db, "all")
+    rng = np.random.default_rng(17)
+    pose_a = facing_pose(rng, z=0.7, max_tilt=0.25, xy_extent=0.04)
+    pose_b = facing_pose(rng, z=0.9, max_tilt=0.25, xy_extent=0.04)
+    pose_a[1][0] = -0.17
+    pose_b[1][0] = 0.18
+    image, depth = compose_scene([objects[0], objects[0]], [pose_a, pose_b])
+
+    cfg = FusedDetectorConfig(
+        n_features=1500, pipeline="segmented", q_cap=1024, radius=50.0,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01,
+            max_instances=3),
+            max_matches_per_object=512, max_active_objects=2))
+    det = FusedDetector(models, cfg)
+    results = [r for r in det.detect(image, depth, DEFAULT_K)
+               if r.object_id == OBJECT_IDS[0]]
+    assert len(results) >= 2, f"found {len(results)} instances"
+    got = sorted(results, key=lambda r: -r.confidence)[:2]
+    want = [pose_a, pose_b]
+    d = np.array([[np.linalg.norm(r.T - T) for (_, T) in want]
+                  for r in got])
+    # each recovered instance matches a DIFFERENT ground-truth placement
+    assert set(d.argmin(axis=1)) == {0, 1}
+    assert (d.min(axis=1) < 0.02).all(), d
+    for r in got:
+        gt_R, gt_T = want[int(np.argmin([np.linalg.norm(r.T - T)
+                                         for (_, T) in want]))]
+        dt, ang = _pose_errors(r, gt_R, gt_T)
+        assert dt < 0.02 and ang < 5.0, (dt, ang)
+
+
 def test_segmented_detector_batched_matches_streaming(trained):
     """Batched segmented detection row i equals a streaming run with the
     SAME per-row RNG key: identical acceptance pattern and poses."""

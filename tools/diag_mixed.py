@@ -15,6 +15,11 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
+# Self-enforce the documented CPU usage: the JAX_PLATFORMS=cpu env prefix is
+# NOT reliable under the axon sitecustomize, and an accidental axon run here
+# claims the single-client TPU tunnel out from under a live bench.
+jax.config.update("jax_platforms", os.environ.get("DIAG_PLATFORM", "cpu"))
+
 import bench  # noqa: E402
 from tod_tpu.geometry.detection import detect_frame_segmented  # noqa: E402
 from tod_tpu.models import FusedDetector  # noqa: E402

@@ -68,7 +68,7 @@ def run(tag, **env):
         bench.log(f"=== queue point: {tag} (already {_done()[tag]}, skip) ===")
         return
     for k in ("BENCH_OBJECTS", "BENCH_COARSE", "BENCH_FINE",
-              "BENCH_FEATURE"):
+              "BENCH_FEATURE", "BENCH_ACT_HYP", "BENCH_PRESCREEN"):
         os.environ.pop(k, None)
     os.environ.update({k: str(v) for k, v in env.items()})
     bench.log(f"=== queue point: {tag} ===")
@@ -110,4 +110,10 @@ run("cf-400", BENCH_OBJECTS=400, BENCH_COARSE=8, BENCH_FINE=64)
 run("cf-800", BENCH_OBJECTS=800, BENCH_COARSE=8, BENCH_FINE=96)
 run("cf-1000", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96)
 run("sift-cf-100", BENCH_FEATURE="SIFT", BENCH_COARSE=4, BENCH_FINE=16)
+# tier-1 variance probe at catalog scale: the 1000-object misses obj009/
+# obj015 are marginal planes (t1 scores 15-19; tools/diag_mixed at 1000
+# recovers them on a different key) — double the tier-1 budget where
+# coarse->fine has shrunk the match stage and see what recall/FPS land.
+run("cf-1000-hyp384", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
+    BENCH_ACT_HYP=384)
 bench.log("queue complete: " + json.dumps(_done()))

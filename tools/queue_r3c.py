@@ -118,8 +118,9 @@ run("cf-1000-hyp384", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
     BENCH_ACT_HYP=384)
 # prescreen-width probe: obj021 sits at margin-mass rank 124 at 1000
 # objects (P=83 excludes it outright — the one non-variance miss in
-# tools/diag_t1var.py). P=166 (O/6) should activate it; measures the
-# tier-1 cost of the wider screen at catalog scale.
-run("cf-1000-p166", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
+# tools/diag_t1var.py). The coarse->fine slab uses the same statistic, so
+# BOTH widths must clear rank 124: fine_width 192 + P 166 (O/6). Measures
+# what the wider screen costs at catalog scale.
+run("cf-1000-p166", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=192,
     BENCH_ACT_HYP=384, BENCH_PRESCREEN=166)
 bench.log("queue complete: " + json.dumps(_done()))

@@ -1,0 +1,168 @@
+"""Temporal slab persistence (coarse->fine serving): unit semantics of the
+age/tracked/merge helpers and the end-to-end streaming behavior — a
+recently-detected weak object keeps its reserved fine-slab slot when the
+coarse statistic would drop it (the 30 Hz-loop feature the reference's
+frame-at-a-time pipeline has no analog for; selection-only: per-object
+match results stay bitwise-exact, ops/pallas/segmented.py contract)."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
+from tod_tpu.geometry.detection import (AGE_NEVER, ActivationConfig,
+                                        GuessConfig, merge_tracked,
+                                        tracked_from_age, update_age)
+from tod_tpu.geometry.ransac import ObjectDetections, RansacConfig
+from tod_tpu.models import FusedDetector, FusedDetectorConfig, TodTrainer
+from tod_tpu.utils.synthetic import (DEFAULT_K, SyntheticBox, SyntheticObject,
+                                     compose_scene, facing_pose,
+                                     presenting_pose,
+                                     turntable_observations)
+
+
+def test_tracked_from_age_picks_recent_within_ttl():
+    age = jnp.asarray([5, 0, 2, AGE_NEVER, 1], jnp.int32)
+    got = np.asarray(tracked_from_age(age, width=3, ttl=2))
+    assert set(got.tolist()) == {1, 4, 2}
+    got2 = np.asarray(tracked_from_age(age, width=3, ttl=0))
+    assert got2[0] == 1 and (got2[1:] == -1).all()
+    # width above catalog size clamps
+    got3 = np.asarray(tracked_from_age(age, width=8, ttl=1000))
+    assert got3.shape == (5,)
+
+
+def test_merge_tracked_dedups_and_holes():
+    sel = jnp.asarray([7, 3], jnp.int32)
+    tracked = jnp.asarray([3, 9, -1], jnp.int32)
+    got = np.asarray(merge_tracked(sel, tracked))
+    assert got.tolist() == [7, 3, -1, 9, -1]
+
+
+def test_update_age_resets_on_acceptance_and_saturates():
+    age = jnp.asarray([0, 4, AGE_NEVER], jnp.int32)
+    det = ObjectDetections(
+        R=jnp.zeros((3, 2, 3, 3)), T=jnp.zeros((3, 2, 3)),
+        n_inliers=jnp.zeros((3, 2), jnp.int32),
+        accepted=jnp.asarray([[False, True], [False, False],
+                              [False, False]]))
+    got = np.asarray(update_age(age, det))
+    assert got.tolist() == [0, 5, AGE_NEVER + 1]
+    # saturation: repeated misses never overflow past AGE_NEVER + 1
+    again = np.asarray(update_age(jnp.asarray(got), det))
+    assert again.tolist() == [0, 6, AGE_NEVER + 1]
+
+
+def test_track_width_requires_coarse_and_slack():
+    with pytest.raises(ValueError, match="coarse_stride"):
+        FusedDetector([], FusedDetectorConfig(pipeline="segmented",
+                                              track_width=2))
+    with pytest.raises(ValueError, match="track_width"):
+        FusedDetector([], FusedDetectorConfig(
+            pipeline="segmented", coarse_stride=4, fine_width=2,
+            track_width=2))
+
+
+DB_JSON = json.dumps({"type": "mem", "collection": "tracking"})
+
+
+def _train(db, obj):
+    for obs in turntable_observations(obj, n_views=8):
+        insert_observation(db, obj.object_id, obs["frame_number"],
+                           obs["image"], obs["depth"], obs["mask"],
+                           obs["K"], obs["R"], obs["T"])
+    TodTrainer("trainer", object_id=obj.object_id, json_db=DB_JSON,
+               json_feature_params=json.dumps(
+                   {"type": "ORB", "n_features": 800, "n_levels": 3,
+                    "scale_factor": 1.2})).process()
+
+
+@pytest.fixture(scope="module")
+def trained_pair():
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("tracking")
+    weak = SyntheticObject.make("weak_plane", seed=21)
+    strong = SyntheticBox.make("strong_box", seed=7)
+    _train(db, weak)
+    _train(db, strong)
+    yield (weak, strong), db
+    InMemoryDb.reset_shared()
+
+
+@pytest.fixture(autouse=True)
+def _reset_shared_dbs():
+    # module-scoped setup conflicts with the autouse db-reset fixture
+    yield
+
+
+def _cfg(fine_width, track_width):
+    return FusedDetectorConfig(
+        n_features=2500, pipeline="segmented", q_cap=2048, radius=50.0,
+        bucket_grid=(6, 8),   # the box's strong corners must not starve
+                              # the weak plane out of q_cap in frame 2
+        coarse_stride=4, fine_width=fine_width, track_width=track_width,
+        track_ttl=2,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01),
+            max_matches_per_object=384, max_active_objects=2))
+
+
+def _frames(plane, box):
+    """Frame 1: the weak-texture plane alone (coarse rank 0 — the only
+    present object). Frame 2: a well-presented, strongly-textured box
+    enters and takes coarse rank 0 (measured: margin mass follows texture
+    distinctiveness), evicting the weak plane from a width-1 slab."""
+    rng = np.random.default_rng(3)
+    pose_p = facing_pose(rng, z=0.7, max_tilt=0.2, xy_extent=0.03)
+    pose_p[1][0] = -0.14
+    pose_b = presenting_pose(rng, z=0.9, max_tilt=0.2, xy_extent=0.03)
+    pose_b[1][0] = 0.18
+    frame1 = compose_scene([plane], [pose_p])
+    frame2 = compose_scene([plane, box], [pose_p, pose_b])
+    return frame1, frame2, pose_p
+
+
+def test_tracking_keeps_evicted_object_in_slab(trained_pair):
+    """Frame 1: the weak plane alone -> coarse top-1 selects it, it is
+    detected, its age resets. Frame 2: the strong box takes the single
+    coarse slot — WITHOUT tracking the plane drops out of the fine slab
+    (control below); with a reserved slot it stays detected."""
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame1, frame2, pose_p = _frames(plane, box)
+
+    det = FusedDetector(models, _cfg(fine_width=2, track_width=1))
+    r1 = det.detect(frame1[0], frame1[1], DEFAULT_K)
+    assert any(r.object_id == "weak_plane" for r in r1)
+    r2 = det.detect(frame2[0], frame2[1], DEFAULT_K)
+    found2 = {r.object_id for r in r2}
+    assert found2 == {"strong_box", "weak_plane"}, found2
+    # some accepted plane instance recovers the true pose (weak junk
+    # secondaries at min_inliers=8 are expected reference behavior)
+    dts = [np.linalg.norm(r.T - pose_p[1]) for r in r2
+           if r.object_id == "weak_plane"]
+    assert min(dts) < 0.02, dts
+
+
+def test_control_without_tracking_drops_evicted_object(trained_pair):
+    """The same frames through a width-1 slab with no reserved slot: the
+    box's dominant coarse statistic evicts the present plane (this is the
+    failure mode tracking exists for; it also certifies the test above
+    passes BECAUSE of the reserved slot, not because the slab was wide
+    enough anyway)."""
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame1, frame2, _ = _frames(plane, box)
+
+    det = FusedDetector(models, _cfg(fine_width=1, track_width=0))
+    r1 = det.detect(frame1[0], frame1[1], DEFAULT_K)
+    assert any(r.object_id == "weak_plane" for r in r1)
+    r2 = det.detect(frame2[0], frame2[1], DEFAULT_K)
+    found2 = {r.object_id for r in r2}
+    assert "strong_box" in found2
+    assert "weak_plane" not in found2, (
+        "control slab unexpectedly retained the plane — the box no longer "
+        "outranks it; rebalance the fixture poses")

@@ -106,6 +106,15 @@ class SegmentedDetector(Cell):
         p.declare("fine_width",
                   "Objects surviving the coarse screen (the exact-match "
                   "set).", default=128)
+        p.declare("track_width",
+                  "Coarse->fine slab slots reserved for recently-detected "
+                  "objects (temporal persistence in a streaming loop): a "
+                  "found object stays in the exact fine pass instead of "
+                  "re-competing through the coarse statistic every frame. "
+                  "0 = off.", default=0)
+        p.declare("track_ttl",
+                  "Frames a tracked object survives without re-detection "
+                  "before its reserved slot is released.", default=2)
         p.declare("catalog_capacity",
                   "Pad the catalog to this many object slots at pack time "
                   "so update_models() can hot-add objects without changing "
@@ -173,6 +182,8 @@ class SegmentedDetector(Cell):
             min_confidence=float(self.params["min_confidence"]),
             coarse_stride=int(self.params["coarse_stride"]),
             fine_width=int(self.params["fine_width"]),
+            track_width=int(self.params["track_width"]),
+            track_ttl=int(self.params["track_ttl"]),
             catalog_capacity=int(self.params["catalog_capacity"]),
             reserve_rows=int(self.params["reserve_rows"]),
             activation=ActivationConfig(

@@ -382,6 +382,40 @@ def coarse_select(dist_c: jax.Array, q_valid: jax.Array, radius: float,
     return sel.astype(jnp.int32)
 
 
+AGE_NEVER = 1 << 20   # "never detected" init; update_age saturates here
+
+
+def tracked_from_age(age: jax.Array, width: int, ttl: int) -> jax.Array:
+    """The ``width`` most-recently-detected object indices (-1 = empty slot).
+
+    ``age[o]`` = frames since object ``o`` was last accepted (update_age);
+    objects with ``age > ttl`` are not tracked. Temporal slab persistence
+    for coarse->fine serving: a weak-texture object, once found, keeps a
+    reserved fine-slab slot for ``ttl`` frames of misses instead of
+    re-competing through the coarse statistic every frame."""
+    n = age.shape[0]
+    w = min(width, n)
+    neg, ids = jax.lax.top_k(-age, w)
+    return jnp.where(-neg <= ttl, ids.astype(jnp.int32), -1)
+
+
+def merge_tracked(sel_main: jax.Array, tracked: jax.Array) -> jax.Array:
+    """Concatenate the coarse selection with tracked slots, holing out
+    duplicates (a tracked object already selected coarse costs nothing —
+    the gathered kernel skips -1 slots; detect_frame_gathered's scatter
+    requires unique non-negative ids)."""
+    dup = (tracked[:, None] == sel_main[None, :]).any(axis=1)
+    return jnp.concatenate(
+        [sel_main, jnp.where(dup | (tracked < 0), -1, tracked)])
+
+
+def update_age(age: jax.Array, det: ObjectDetections) -> jax.Array:
+    """Advance the per-object frames-since-detected counter by one frame:
+    0 where ``det`` accepted an instance, +1 (saturating) elsewhere."""
+    acc = det.accepted.any(axis=1)
+    return jnp.where(acc, 0, jnp.minimum(age, AGE_NEVER) + 1)
+
+
 def detect_frame_gathered(
         key: jax.Array, dist: jax.Array, rows: jax.Array, sel: jax.Array,
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,

@@ -79,6 +79,8 @@ class TodDetector(BlackBox):
                              Forward("min_confidence"),
                              Forward("coarse_stride"),
                              Forward("fine_width"),
+                             Forward("track_width"),
+                             Forward("track_ttl"),
                              Forward("catalog_capacity"),
                              Forward("reserve_rows"),
                              Forward("seed")]}

@@ -21,11 +21,13 @@ import numpy as np
 
 from tod_tpu.cells.types import PoseResult
 from tod_tpu.db.models import TodModel
-from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
-                                        coarse_select,
+from tod_tpu.geometry.detection import (AGE_NEVER, ActivationConfig,
+                                        GuessConfig, coarse_select,
                                         detect_frame_from_matches,
                                         detect_frame_gathered,
-                                        detect_frame_segmented)
+                                        detect_frame_segmented,
+                                        merge_tracked, tracked_from_age,
+                                        update_age)
 from tod_tpu.geometry.ransac import ObjectDetections, RansacConfig
 from tod_tpu.ops.depth import depth_to_3d_sparse, to_metric_depth
 from tod_tpu.ops.image import rgb_to_gray
@@ -96,6 +98,18 @@ class FusedDetectorConfig:
     # operating point at 100 objects).
     coarse_stride: int = 0
     fine_width: int = 128
+    # Temporal slab persistence (coarse->fine streaming only): reserve
+    # ``track_width`` of the fine_width slots for the most-recently-
+    # detected objects (kept for ``track_ttl`` frames past their last
+    # acceptance), merged-deduped with the coarse top-(fine_width -
+    # track_width). A weak-texture object, once found, stays in the exact
+    # fine pass instead of re-competing through the coarse statistic every
+    # frame of a 30 Hz loop — selection changes, per-object results stay
+    # bitwise-exact. 0 = off (pure coarse ranking; the default). State
+    # lives in the FusedDetector (per-object age vector); detect_batch_raw
+    # and the sharded serving step ignore it (stateless programs).
+    track_width: int = 0
+    track_ttl: int = 2
     # Hot catalog updates (segmented pipeline): pad the catalog to
     # ``catalog_capacity`` object slots (empty models) and reserve
     # ``reserve_rows`` poisoned rows per slot at pack time. With both set,
@@ -390,14 +404,19 @@ def _stage_geometry_segmented(key, xy, qp, ok, dist_qo, rows_qo,
         cfg.guess, cfg.activation, cfg.radius)[1]
 
 
-def _stage_coarse_select(dsc, ok, cdb, cfg: FusedDetectorConfig):
+def _stage_coarse_select(dsc, ok, cdb, tracked=None, *,
+                         cfg: FusedDetectorConfig):
     if isinstance(cdb, SegmentedDb):
         dist_c, _ = object_top1(dsc, cdb)
     else:
         from tod_tpu.ops.pallas.segmented_l2 import object_top1_l2
         dist_c, _ = object_top1_l2(dsc, cdb)
-    return coarse_select(dist_c, ok, cfg.radius, cfg.resolved_coarse_slack,
-                         cfg.fine_width, cfg.activation.prescreen_top)
+    width = cfg.fine_width - (cfg.track_width if tracked is not None else 0)
+    sel = coarse_select(dist_c, ok, cfg.radius, cfg.resolved_coarse_slack,
+                        width, cfg.activation.prescreen_top)
+    if tracked is not None:
+        sel = merge_tracked(sel, tracked)
+    return sel
 
 
 def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
@@ -406,6 +425,10 @@ def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
     return detect_frame_gathered(
         key, dist_qc, rows_qc, sel, ok, qp, xy, points, obj_start, spans,
         cfg.guess, cfg.activation, cfg.radius)[1]
+
+
+_jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
+_jit_age = jax.jit(update_age)
 
 
 @functools.lru_cache(maxsize=4)
@@ -441,6 +464,17 @@ class FusedDetector:
                 "FusedDetector serves SIFT/L2 through the segmented "
                 "pipeline only (pipeline='segmented'); the TodDetector "
                 "cell graph covers the global-kNN SIFT contract")
+        if self.config.track_width:
+            if self.config.coarse_stride <= 0:
+                raise ValueError(
+                    "track_width reserves coarse->fine slab slots; it "
+                    "requires coarse_stride > 0 (the full exact sweep "
+                    "already scores every object)")
+            if self.config.track_width >= self.config.fine_width:
+                raise ValueError(
+                    f"track_width ({self.config.track_width}) must leave "
+                    f"coarse slots: fine_width is "
+                    f"{self.config.fine_width}")
         if self.segmented:
             self._stages = _jitted_segmented_stages(self.config)
             self._coarse = None
@@ -475,6 +509,10 @@ class FusedDetector:
         else:
             self.sdb = pack_segmented(models, reserve_rows=cfg.reserve_rows)
         self.object_ids = [m.object_id for m in models]
+        # temporal tracking state: frames since each object slot was last
+        # accepted (slab persistence, cfg.track_width). Catalog re-packs
+        # reset it — slot indices may mean different objects now.
+        self._age = jnp.full(max(len(models), 1), AGE_NEVER, jnp.int32)
         if cfg.coarse_stride > 0 and models:
             c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
             sub = subsample_models(models, cfg.coarse_stride)
@@ -547,10 +585,19 @@ class FusedDetector:
                 return None, _empty_detections(0, self.config)
             if self._coarse is not None:
                 c1, c2, c3 = self._coarse
-                sel = c1(dsc, ok, self.cdb)
+                track = self.config.track_width > 0
+                if track:
+                    tracked = _jit_tracked(self._age,
+                                           self.config.track_width,
+                                           self.config.track_ttl)
+                    sel = c1(dsc, ok, self.cdb, tracked)
+                else:
+                    sel = c1(dsc, ok, self.cdb)
                 dist, rows = c2(dsc, self.sdb, sel)
                 det = c3(sub, xy, qp, ok, dist, rows, sel, self.sdb.points,
                          self.sdb.obj_start, self.sdb.spans)
+                if track:
+                    self._age = _jit_age(self._age, det)
                 return None, det
             dist, rows = s2(dsc, self.sdb)
             det = s3(sub, xy, qp, ok, dist, rows, self.sdb.points,

@@ -106,10 +106,14 @@ def run(tag, **env):
 
 
 run("default-100")
-run("cf-400", BENCH_OBJECTS=400, BENCH_COARSE=8, BENCH_FINE=64)
-run("cf-800", BENCH_OBJECTS=800, BENCH_COARSE=8, BENCH_FINE=96)
-run("cf-1000", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96)
+# order = value per wall-clock hour on a 1-CPU VM (training is host-render
+# bound, ~27 s/object): the cheap SIFT point exercises the gathered-L2
+# kernel's FIRST hardware-parity gate right after the default point; the
+# cf-800 point is dropped (bracketed by 400 and 1000, and its non-CF
+# numbers are already in PROGRESS.md).
 run("sift-cf-100", BENCH_FEATURE="SIFT", BENCH_COARSE=4, BENCH_FINE=16)
+run("cf-400", BENCH_OBJECTS=400, BENCH_COARSE=8, BENCH_FINE=64)
+run("cf-1000", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96)
 # tier-1 variance probe at catalog scale: the 1000-object misses obj009/
 # obj015 are marginal planes (t1 scores 15-19; tools/diag_mixed at 1000
 # recovers them on a different key) — double the tier-1 budget where

@@ -392,7 +392,10 @@ def main():
         # the record still points at real, clearly-labeled numbers.
         last_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
-        out = {"metric": f"detection_fps_640x480_{n_objects}obj",
+        feature = os.environ.get("BENCH_FEATURE", "ORB")
+        out = {"metric": (f"detection_fps_640x480_{n_objects}obj"
+                          + ("" if feature == "ORB"
+                             else f"_{feature.lower()}")),
                "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
                "error": f"TPU unavailable: {e}"}
         if os.path.exists(last_path):

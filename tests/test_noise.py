@@ -54,6 +54,14 @@ def trained_noise():
     InMemoryDb.reset_shared()
 
 
+# module-scoped setup conflicts with the autouse db-reset fixture; disable it
+# (same pattern as test_e2e.py) so cells resolving the DB through the shared
+# registry (SegmentedDetector.configure) see the trained collection.
+@pytest.fixture(autouse=True)
+def _reset_shared_dbs():
+    yield
+
+
 def test_degrade_frame_statistics():
     """The noise model does what it documents: RGB sigma, z^2-scaled depth
     sigma on valid pixels only, dropout fraction, and determinism."""
@@ -166,6 +174,7 @@ def test_bucket_grid_wires_through_serving_cell(trained_noise):
     assert _parse_bucket_grid("6x8") == (6, 8)
     assert _parse_bucket_grid([4, 5]) == (4, 5)
 
+    objects, _ = trained_noise
     cell = SegmentedDetector(
         "serving", json_db=DB_JSON, json_object_ids="all",
         json_feature_params=json.dumps({"type": "ORB", "n_features": 500}),
@@ -173,6 +182,10 @@ def test_bucket_grid_wires_through_serving_cell(trained_noise):
     cell.configure()
     assert cell._detector.config.bucket_grid == (6, 8)
     assert cell._detector.config.min_confidence == 24.0
+    # the cell must have resolved the TRAINED collection through the shared
+    # registry, not a fresh empty one
+    assert sorted(i for i in cell._detector.object_ids if i) == \
+        sorted(o.object_id for o in objects)
 
 
 def test_min_confidence_gate_filters_exactly(trained_noise):

@@ -34,6 +34,21 @@ def _parse_bucket_grid(value):
     return int(rows), int(cols)
 
 
+def _clamped_hypotheses(n: int) -> int:
+    """Clamp the tier-2 hypothesis batch to the compiled program's
+    supported range [128, 4096], warning when the .ork value is changed
+    (the GuessGenerator cell pipeline honors the knob verbatim)."""
+    clamped = max(128, min(n, 4096))
+    if clamped != n:
+        import warnings
+
+        warnings.warn(
+            f"n_ransac_iterations={n} is outside the segmented pipeline's "
+            f"supported hypothesis-batch range [128, 4096]; using {clamped}",
+            stacklevel=2)
+    return clamped
+
+
 class SegmentedDetector(Cell):
     """One cell wrapping the staged segmented FusedDetector (features +
     query compaction | per-object Pallas matching | two-tier geometry)."""
@@ -60,7 +75,8 @@ class SegmentedDetector(Cell):
                   "to this many highest-response keypoints with valid 3D.",
                   default=2048)
         p.declare("n_ransac_iterations",
-                  "Tier-2 RANSAC hypothesis batch size.", default=768)
+                  "Tier-2 RANSAC hypothesis batch size (clamped to "
+                  "[128, 4096] with a warning).", default=768)
         p.declare("min_inliers", "Minimum unique-keypoint inliers to accept "
                   "a pose.", default=8)
         p.declare("sensor_error", "The error (in meters) from the sensor.",
@@ -174,8 +190,8 @@ class SegmentedDetector(Cell):
             fast_threshold=float(feat.get("fast_threshold", 20)),
             subpixel=bool(feat.get("subpixel", False)),
             feature=feat_type,
-            radius=float(search.get("radius", default_radius)
-                         or default_radius),
+            radius=float(search["radius"] if search.get("radius") is not None
+                         else default_radius),
             pipeline="segmented",
             q_cap=int(self.params["q_cap"]),
             bucket_grid=_parse_bucket_grid(self.params["bucket_grid"]),
@@ -193,8 +209,8 @@ class SegmentedDetector(Cell):
                 prescreen=int(self.params["activation_prescreen"])),
             guess=GuessConfig(
                 ransac=RansacConfig(
-                    n_hypotheses=max(128, min(int(
-                        self.params["n_ransac_iterations"]), 4096)),
+                    n_hypotheses=_clamped_hypotheses(
+                        int(self.params["n_ransac_iterations"])),
                     min_inliers=int(self.params["min_inliers"]),
                     sensor_error=float(self.params["sensor_error"]),
                     max_instances=int(self.params["max_instances"]),

@@ -303,13 +303,18 @@ def subsample_models(models: Sequence, stride: int) -> list:
     return out
 
 
-def max_chunks_per_object(db: SegmentedDb) -> int:
-    """Largest per-object chunk count (static; one-time host download)."""
+def max_chunks_per_object(db) -> int:
+    """Largest per-object chunk count (static; one-time host download).
+
+    Accepts both segmented DB flavors — Hamming (``bits_t``) and L2
+    (``vecs_t``) — so the Hamming and coarse->fine L2 paths share one
+    chunk-bound computation."""
     starts = np.asarray(jax.device_get(db.obj_start))
     total = int(db.chunk_obj.shape[0])
     if starts.size == 0:
         return 0
-    db_chunk = db_chunk_of(db)
+    rows = db.bits_t if hasattr(db, "bits_t") else db.vecs_t
+    db_chunk = rows.shape[1] // max(total, 1)
     bounds = np.concatenate([starts // db_chunk, [total]])
     return int(np.max(np.diff(bounds)))
 

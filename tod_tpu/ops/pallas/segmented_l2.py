@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tod_tpu.ops.pallas.segmented import ROW_BITS, VMEM_LIMIT
+from tod_tpu.ops.pallas.segmented import (ROW_BITS, VMEM_LIMIT,
+                                          max_chunks_per_object)
 
 DB_CHUNK = 4096
 Q_TILE = 1024
@@ -291,15 +292,9 @@ def object_top1_l2(query_i8: jax.Array, db: SegmentedDbF,
 HOLE_ROW_L2 = 0
 
 
-def max_chunks_per_object_f(db: SegmentedDbF) -> int:
-    """Largest per-object chunk count (static; one-time host download)."""
-    starts = np.asarray(jax.device_get(db.obj_start))
-    total = int(db.chunk_obj.shape[0])
-    if starts.size == 0:
-        return 0
-    db_chunk = db_chunk_of_f(db)
-    bounds = np.concatenate([starts // db_chunk, [total]])
-    return int(np.max(np.diff(bounds)))
+# One shared chunk-bound computation for both DB flavors (dispatches on
+# bits_t/vecs_t); re-exported under the L2 name for this module's callers.
+max_chunks_per_object_f = max_chunks_per_object
 
 
 def _gathered_l2_kernel(chunk_ref, slot_ref, base_ref, q_ref, dbt_ref,

@@ -14,13 +14,10 @@ from __future__ import annotations
 import os
 
 
-def honor_jax_platforms_env() -> None:
-    """Re-assert ``JAX_PLATFORMS`` from the environment over any platform a
-    site plugin force-selected. No-op when the env var is unset or jax has
-    already initialized its backends."""
-    want = os.environ.get("JAX_PLATFORMS")
-    if not want:
-        return
+def force_platform(name: str) -> None:
+    """Pin jax to platform ``name`` via the config API (config wins over
+    whatever a site plugin asserted). No-op once jax has already
+    initialized its backends."""
     import jax
 
     try:
@@ -28,4 +25,13 @@ def honor_jax_platforms_env() -> None:
     except AttributeError:  # private API moved: fail open, try the update
         initialized = False
     if not initialized:
-        jax.config.update("jax_platforms", want)
+        jax.config.update("jax_platforms", name)
+
+
+def honor_jax_platforms_env() -> None:
+    """Re-assert ``JAX_PLATFORMS`` from the environment over any platform a
+    site plugin force-selected. No-op when the env var is unset or jax has
+    already initialized its backends."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        force_platform(want)

@@ -1,0 +1,165 @@
+"""Exploration slots (coarse->fine serving): bounded-latency discovery of
+objects the coarse screen excludes. ``explore_width`` fine-slab slots cycle
+deterministically through the catalog, so any PRESENT object reaches the
+exact fine pass within ceil(objects / explore_width) frames even when the
+coarse margin statistic never ranks its texture (the catalog-relative
+activation floor, PROGRESS.md); ``track_width`` then latches the find.
+Selection-only, like tracking: per-object match results stay bitwise-exact
+(ops/pallas/segmented.py gathered-kernel contract)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
+from tod_tpu.geometry.detection import ActivationConfig, GuessConfig
+from tod_tpu.geometry.ransac import RansacConfig
+from tod_tpu.models import FusedDetector, FusedDetectorConfig, TodTrainer
+from tod_tpu.utils.synthetic import (DEFAULT_K, SyntheticBox, SyntheticObject,
+                                     compose_scene, facing_pose,
+                                     presenting_pose,
+                                     turntable_observations)
+
+
+def test_explore_requires_coarse_and_room():
+    with pytest.raises(ValueError, match="coarse_stride"):
+        FusedDetector([], FusedDetectorConfig(pipeline="segmented",
+                                              explore_width=2))
+    with pytest.raises(ValueError, match="explore_width"):
+        FusedDetector([], FusedDetectorConfig(
+            pipeline="segmented", coarse_stride=4, fine_width=3,
+            track_width=2, explore_width=1))
+
+
+def test_explore_ids_rotate_uniquely():
+    det = FusedDetector([], FusedDetectorConfig(
+        pipeline="segmented", coarse_stride=4, fine_width=8,
+        explore_width=3))
+    det.object_ids = [f"o{i}" for i in range(7)]  # rotation is id-count only
+    seen = []
+    for _ in range(7):
+        ids = np.asarray(det._explore_ids())
+        assert ids.shape == (3,)
+        assert len(set(ids.tolist())) == 3, "dups within one frame's slots"
+        seen.extend(ids.tolist())
+    # 7 frames x 3 slots = 3 full cycles of 7: every object visited equally
+    assert sorted(set(seen)) == list(range(7))
+    assert all(seen.count(i) == 3 for i in range(7))
+
+
+def test_explore_ids_pad_when_catalog_smaller():
+    det = FusedDetector([], FusedDetectorConfig(
+        pipeline="segmented", coarse_stride=4, fine_width=8,
+        explore_width=5))
+    det.object_ids = ["a", "b", "c"]
+    ids = np.asarray(det._explore_ids())
+    assert ids.tolist() == [0, 1, 2, -1, -1]
+
+
+DB_JSON = json.dumps({"type": "mem", "collection": "explore"})
+
+
+def _train(db, obj):
+    for obs in turntable_observations(obj, n_views=8):
+        insert_observation(db, obj.object_id, obs["frame_number"],
+                           obs["image"], obs["depth"], obs["mask"],
+                           obs["K"], obs["R"], obs["T"])
+    TodTrainer("trainer", object_id=obj.object_id, json_db=DB_JSON,
+               json_feature_params=json.dumps(
+                   {"type": "ORB", "n_features": 800, "n_levels": 3,
+                    "scale_factor": 1.2})).process()
+
+
+@pytest.fixture(scope="module")
+def trained_pair():
+    InMemoryDb.reset_shared()
+    db = InMemoryDb.shared("explore")
+    weak = SyntheticObject.make("weak_plane", seed=21)
+    strong = SyntheticBox.make("strong_box", seed=7)
+    _train(db, weak)
+    _train(db, strong)
+    yield (weak, strong), db
+    InMemoryDb.reset_shared()
+
+
+@pytest.fixture(autouse=True)
+def _reset_shared_dbs():
+    # module-scoped setup conflicts with the autouse db-reset fixture
+    yield
+
+
+def _cfg(fine_width, explore_width, track_width=0):
+    return FusedDetectorConfig(
+        n_features=2500, pipeline="segmented", q_cap=2048, radius=50.0,
+        bucket_grid=(6, 8),
+        coarse_stride=4, fine_width=fine_width, track_width=track_width,
+        track_ttl=2, explore_width=explore_width,
+        activation=ActivationConfig(m_cap=128, n_hypotheses=128),
+        guess=GuessConfig(ransac=RansacConfig(
+            n_hypotheses=512, min_inliers=8, sensor_error=0.01),
+            max_matches_per_object=384, max_active_objects=2))
+
+
+def _scene(plane, box):
+    """One static scene with BOTH objects present; the strongly-textured
+    box dominates the coarse margin statistic (test_tracking.py measured
+    this ordering), so a width-1 coarse screen permanently excludes the
+    weak plane — the failure mode exploration exists for."""
+    rng = np.random.default_rng(3)
+    pose_p = facing_pose(rng, z=0.7, max_tilt=0.2, xy_extent=0.03)
+    pose_p[1][0] = -0.14
+    pose_b = presenting_pose(rng, z=0.9, max_tilt=0.2, xy_extent=0.03)
+    pose_b[1][0] = 0.18
+    return compose_scene([plane, box], [pose_p, pose_b]), pose_p
+
+
+def test_control_narrow_screen_never_finds_weak_object(trained_pair):
+    """Without exploration, repeating the same frame through a width-1
+    coarse slab never discovers the excluded plane (certifies the test
+    below passes BECAUSE of the exploration slot)."""
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame, _ = _scene(plane, box)
+    det = FusedDetector(models, _cfg(fine_width=1, explore_width=0))
+    for _ in range(3):
+        found = {r.object_id for r in det.detect(frame[0], frame[1],
+                                                 DEFAULT_K)}
+        assert "strong_box" in found
+        assert "weak_plane" not in found, (
+            "control slab unexpectedly admitted the plane — the box no "
+            "longer dominates the coarse statistic; rebalance the fixture")
+
+
+def test_explore_discovers_within_cycle_and_tracking_latches(trained_pair):
+    """fine_width=4 = 1 coarse slot (the box takes it every frame) +
+    2 tracked + 1 exploration slot over a 2-object catalog: the rotation
+    must bring the excluded plane into the fine pass within 2 frames, and
+    slab persistence must keep it found on EVERY subsequent frame even
+    when the exploration slot has rotated away."""
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame, pose_p = _scene(plane, box)
+    det = FusedDetector(models,
+                        _cfg(fine_width=4, explore_width=1, track_width=2))
+
+    cycle = -(-len(models) // 1)   # ceil(O / E) = 2 frames
+    discovered_at = None
+    for t in range(cycle):
+        found = {r.object_id for r in det.detect(frame[0], frame[1],
+                                                 DEFAULT_K)}
+        if "weak_plane" in found:
+            discovered_at = t
+            break
+    assert discovered_at is not None, (
+        f"exploration failed to discover the plane within the "
+        f"{cycle}-frame rotation cycle")
+
+    # latched: found on every later frame (tracked slot, ttl 2 > 0 misses)
+    for _ in range(3):
+        results = det.detect(frame[0], frame[1], DEFAULT_K)
+        found = {r.object_id for r in results}
+        assert found == {"strong_box", "weak_plane"}, found
+        dts = [np.linalg.norm(r.T - pose_p[1]) for r in results
+               if r.object_id == "weak_plane"]
+        assert min(dts) < 0.02, dts

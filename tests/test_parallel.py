@@ -533,6 +533,113 @@ def test_serving_step_sharded_coarse_fine_matches_single_device(
     assert np.asarray(det_s.accepted).any()
 
 
+def test_serving_step_sharded_streaming_slots_matches_single_device(
+        devices8, rng):
+    """The multi-chip coarse->fine serving step with STREAMING SLOTS
+    (track_width + explore_width reserved slab slots, per-frame id arrays
+    supplied by the driver) equals the single-device _stage_coarse_select
+    construction: coarse top-(fine_width - reserved), then merge tracked,
+    then merge explore — including dedup of a tracked/explored object the
+    coarse screen also selected, and -1 holes."""
+    from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
+                                            coarse_select,
+                                            detect_frame_gathered,
+                                            merge_tracked)
+    from tod_tpu.models.fused import FusedDetectorConfig
+    from tod_tpu.ops.pallas.segmented import (object_top1,
+                                              object_top1_gathered_xla,
+                                              pack_segmented,
+                                              subsample_models)
+    from tod_tpu.parallel import make_mesh, pack_segmented_sharded
+    from tod_tpu.parallel.segmented import (serving_step_sharded,
+                                            stacked_max_chunks)
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    models = []
+    for i in range(8):
+        n = 120 + 17 * i
+        desc = rng.integers(0, 256, (n, 32), np.uint8)
+        pts = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+        models.append(TodModel(f"o{i}", desc, pts))
+    q_n = 256
+    qp = np.full((2, q_n, 3), np.nan, np.float32)
+    xy = np.zeros((2, q_n, 2), np.float32)
+    dsc = rng.integers(0, 256, (2, q_n, 32), np.uint8)
+    ok = np.zeros((2, q_n), bool)
+    for f in range(2):
+        cursor = 0
+        for i in (0, 3, 5):
+            m = models[i]
+            take = 50
+            sel_rows = rng.choice(m.n_points, take, replace=False)
+            Rg = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(Rg) < 0:
+                Rg[:, 0] *= -1
+            Tg = np.array([0.1 * i - 0.3, 0.05 * f, 0.8], np.float32)
+            qp[f, cursor:cursor + take] = m.points[sel_rows] @ Rg.T + Tg
+            xy[f, cursor:cursor + take] = rng.uniform(30, 600, (take, 2))
+            dsc[f, cursor:cursor + take] = m.descriptors[sel_rows]
+            ok[f, cursor:cursor + take] = True
+            cursor += take
+    cfg = FusedDetectorConfig(
+        pipeline="segmented", radius=60.0, q_cap=q_n,
+        coarse_stride=3, fine_width=8, track_width=1, explore_width=3,
+        activation=ActivationConfig(m_cap=64, n_hypotheses=64,
+                                    object_batch=2, prescreen=0),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
+                                max_instances=2),
+            max_matches_per_object=64, max_active_objects=4,
+            object_batch=2))
+    # frame 0: a tracked object the coarse screen will also rank (dedup) +
+    # rotation slots incl. one duplicating the tracked id; frame 1: empty
+    # tracked slot (-1 hole)
+    tracked = np.asarray([[5], [-1]], np.int32)
+    explore = np.asarray([[2, 5, 7], [3, 4, 6]], np.int32)
+
+    stacked, ids = pack_segmented_sharded(models, n_shards=4, db_chunk=2048)
+    cstacked, _ = pack_segmented_sharded(
+        subsample_models(models, cfg.coarse_stride), n_shards=4,
+        db_chunk=2048)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    with mesh:
+        fn = serving_step_sharded(mesh, cfg,
+                                  fine_max_chunks=stacked_max_chunks(stacked))
+        det_s = fn(keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
+                   jnp.asarray(dsc), stacked, cstacked,
+                   jnp.asarray(tracked), jnp.asarray(explore))
+
+    by_id = {m.object_id: m for m in models}
+    ordered = [by_id[i] for i in ids]
+    db1 = pack_segmented(ordered, db_chunk=2048)
+    cdb1 = pack_segmented(subsample_models(ordered, cfg.coarse_stride),
+                          db_chunk=2048)
+    reserved = cfg.track_width + cfg.explore_width
+    for f in range(2):
+        dc1, _ = object_top1(jnp.asarray(dsc[f]), cdb1, db_chunk=2048)
+        sel1 = coarse_select(dc1, jnp.asarray(ok[f]), cfg.radius,
+                             cfg.resolved_coarse_slack,
+                             cfg.fine_width - reserved,
+                             cfg.activation.prescreen_top)
+        sel1 = merge_tracked(sel1, jnp.asarray(tracked[f]))
+        sel1 = merge_tracked(sel1, jnp.asarray(explore[f]))
+        df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
+                                            db_chunk=2048)
+        _, det_1 = jax.jit(detect_frame_gathered,
+                           static_argnums=(10, 11, 12))(
+            keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
+            jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
+            cfg.guess, cfg.activation, cfg.radius)
+        np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
+                                      np.asarray(det_1.accepted))
+        acc = np.asarray(det_1.accepted)
+        np.testing.assert_allclose(np.asarray(det_s.T[f])[acc],
+                                   np.asarray(det_1.T)[acc], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(det_s.n_inliers[f]),
+                                      np.asarray(det_1.n_inliers))
+    assert np.asarray(det_s.accepted).any()
+
+
 def test_serving_step_sharded_coarse_fine_l2_matches_single_device(
         devices8, rng):
     """The multi-chip coarse->fine serving step on the SIFT/L2 path (float

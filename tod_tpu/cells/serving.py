@@ -131,6 +131,13 @@ class SegmentedDetector(Cell):
         p.declare("track_ttl",
                   "Frames a tracked object survives without re-detection "
                   "before its reserved slot is released.", default=2)
+        p.declare("explore_width",
+                  "Coarse->fine slab slots cycling deterministically "
+                  "through the whole catalog (bounded-latency discovery): "
+                  "any present object reaches the exact fine pass within "
+                  "ceil(objects / explore_width) frames even if the coarse "
+                  "statistic never ranks it, then track_width latches it. "
+                  "0 = off.", default=0)
         p.declare("catalog_capacity",
                   "Pad the catalog to this many object slots at pack time "
                   "so update_models() can hot-add objects without changing "
@@ -200,6 +207,7 @@ class SegmentedDetector(Cell):
             fine_width=int(self.params["fine_width"]),
             track_width=int(self.params["track_width"]),
             track_ttl=int(self.params["track_ttl"]),
+            explore_width=int(self.params["explore_width"]),
             catalog_capacity=int(self.params["catalog_capacity"]),
             reserve_rows=int(self.params["reserve_rows"]),
             activation=ActivationConfig(

@@ -81,6 +81,7 @@ class TodDetector(BlackBox):
                              Forward("fine_width"),
                              Forward("track_width"),
                              Forward("track_ttl"),
+                             Forward("explore_width"),
                              Forward("catalog_capacity"),
                              Forward("reserve_rows"),
                              Forward("seed")]}

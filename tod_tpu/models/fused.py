@@ -110,6 +110,19 @@ class FusedDetectorConfig:
     # and the sharded serving step ignore it (stateless programs).
     track_width: int = 0
     track_ttl: int = 2
+    # Exploration slots (coarse->fine streaming only): reserve
+    # ``explore_width`` fine-slab slots that cycle deterministically through
+    # the catalog — frame t fine-matches objects (t*E + i) mod O besides the
+    # coarse selection — so ANY present object, however badly the coarse
+    # statistic ranks its texture, reaches the exact fine pass within
+    # ceil(O / E) frames. Pair with ``track_width``: once discovered, the
+    # object latches into a reserved tracked slot. This converts the
+    # catalog-relative screen exclusion (a weak texture whose margin-mass
+    # rank falls outside fine_width at large catalogs, PROGRESS.md) from a
+    # PERMANENT miss into a bounded-latency one, at the cost of E slab
+    # slots. Stateful/streaming-only like track_width: detect_batch_raw and
+    # the sharded serving step ignore it. 0 = off (the default).
+    explore_width: int = 0
     # Hot catalog updates (segmented pipeline): pad the catalog to
     # ``catalog_capacity`` object slots (empty models) and reserve
     # ``reserve_rows`` poisoned rows per slot at pack time. With both set,
@@ -404,18 +417,24 @@ def _stage_geometry_segmented(key, xy, qp, ok, dist_qo, rows_qo,
         cfg.guess, cfg.activation, cfg.radius)[1]
 
 
-def _stage_coarse_select(dsc, ok, cdb, tracked=None, *,
+def _stage_coarse_select(dsc, ok, cdb, tracked=None, explore=None, *,
                          cfg: FusedDetectorConfig):
     if isinstance(cdb, SegmentedDb):
         dist_c, _ = object_top1(dsc, cdb)
     else:
         from tod_tpu.ops.pallas.segmented_l2 import object_top1_l2
         dist_c, _ = object_top1_l2(dsc, cdb)
-    width = cfg.fine_width - (cfg.track_width if tracked is not None else 0)
+    width = cfg.fine_width \
+        - (cfg.track_width if tracked is not None else 0) \
+        - (cfg.explore_width if explore is not None else 0)
     sel = coarse_select(dist_c, ok, cfg.radius, cfg.resolved_coarse_slack,
                         width, cfg.activation.prescreen_top)
     if tracked is not None:
         sel = merge_tracked(sel, tracked)
+    if explore is not None:
+        # explore ids are unique by construction (host-side rotation);
+        # merge_tracked holes out any already selected coarse/tracked
+        sel = merge_tracked(sel, explore)
     return sel
 
 
@@ -464,15 +483,16 @@ class FusedDetector:
                 "FusedDetector serves SIFT/L2 through the segmented "
                 "pipeline only (pipeline='segmented'); the TodDetector "
                 "cell graph covers the global-kNN SIFT contract")
-        if self.config.track_width:
+        if self.config.track_width or self.config.explore_width:
             if self.config.coarse_stride <= 0:
                 raise ValueError(
-                    "track_width reserves coarse->fine slab slots; it "
-                    "requires coarse_stride > 0 (the full exact sweep "
-                    "already scores every object)")
-            if self.config.track_width >= self.config.fine_width:
+                    "track_width/explore_width reserve coarse->fine slab "
+                    "slots; they require coarse_stride > 0 (the full exact "
+                    "sweep already scores every object)")
+            reserved = self.config.track_width + self.config.explore_width
+            if reserved >= self.config.fine_width:
                 raise ValueError(
-                    f"track_width ({self.config.track_width}) must leave "
+                    f"track_width + explore_width ({reserved}) must leave "
                     f"coarse slots: fine_width is "
                     f"{self.config.fine_width}")
         if self.segmented:
@@ -513,6 +533,7 @@ class FusedDetector:
         # accepted (slab persistence, cfg.track_width). Catalog re-packs
         # reset it — slot indices may mean different objects now.
         self._age = jnp.full(max(len(models), 1), AGE_NEVER, jnp.int32)
+        self._explore_pos = 0  # rotation cursor for cfg.explore_width slots
         if cfg.coarse_stride > 0 and models:
             c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
             sub = subsample_models(models, cfg.coarse_stride)
@@ -562,6 +583,21 @@ class FusedDetector:
                              "path")
         self._pack_catalog(models)
 
+    def _explore_ids(self) -> jax.Array:
+        """Next ``explore_width`` catalog indices of the deterministic
+        rotation (host-side cursor; -1-padded when the catalog is smaller
+        than the reservation). Each call advances one frame."""
+        n = len(self.object_ids)
+        e = self.config.explore_width
+        if e >= n:
+            ids = np.concatenate([np.arange(n, dtype=np.int32),
+                                  np.full(e - n, -1, np.int32)])
+        else:
+            ids = (self._explore_pos
+                   + np.arange(e, dtype=np.int32)) % np.int32(n)
+            self._explore_pos = int((self._explore_pos + e) % n)
+        return jnp.asarray(ids)
+
     def prepare_frame(self, image: np.ndarray, depth: np.ndarray,
                       K: np.ndarray):
         """Upload one frame to the device once (gray f32, depth, K)."""
@@ -586,11 +622,13 @@ class FusedDetector:
             if self._coarse is not None:
                 c1, c2, c3 = self._coarse
                 track = self.config.track_width > 0
-                if track:
-                    tracked = _jit_tracked(self._age,
-                                           self.config.track_width,
-                                           self.config.track_ttl)
-                    sel = c1(dsc, ok, self.cdb, tracked)
+                explore = self.config.explore_width > 0
+                tracked = _jit_tracked(
+                    self._age, self.config.track_width,
+                    self.config.track_ttl) if track else None
+                if track or explore:
+                    sel = c1(dsc, ok, self.cdb, tracked,
+                             self._explore_ids() if explore else None)
                 else:
                     sel = c1(dsc, ok, self.cdb)
                 dist, rows = c2(dsc, self.sdb, sel)

@@ -204,10 +204,19 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     SLOTS sharded positionally over 'db' — bitwise-identical to the
     single-device coarse→fine path (parity test), with ``fine_width`` and
     ``min(prescreen, fine_width)`` required to divide n_db.
+
+    Streaming slab slots: when ``cfg.track_width`` / ``cfg.explore_width``
+    are set (coarse→fine only), the fn takes matching trailing per-frame
+    id arrays ``tracked (B, track_width)`` / ``explore (B, explore_width)``
+    (int32, -1 = empty) after the DB operand(s); the driver computes them
+    exactly as the single-device streaming loop does (``tracked_from_age``
+    on its age state; the deterministic exploration rotation), and the
+    slab construction is bit-identical to ``_stage_coarse_select``.
     """
     from tod_tpu.geometry.adjacency import fill_adjacency
     from tod_tpu.geometry.detection import (build_object_stores,
-                                            coarse_select, prescreen_scores,
+                                            coarse_select, merge_tracked,
+                                            prescreen_scores,
                                             scatter_detections)
     from tod_tpu.geometry.ransac import (ObjectDetections,
                                          detect_object_instances,
@@ -222,17 +231,37 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     if coarse and fine_max_chunks <= 0:
         raise ValueError("coarse_stride > 0 requires fine_max_chunks="
                          "stacked_max_chunks(sdb_stacked)")
+    # Streaming slab slots (coarse->fine only): when the config reserves
+    # tracked and/or exploration slots, the returned fn takes matching
+    # trailing per-frame id arrays — ``tracked (B, track_width)`` and/or
+    # ``explore (B, explore_width)`` int32, -1 = empty slot — AFTER the
+    # DB operand(s). The driver supplies them exactly as the single-device
+    # streaming loop does (tracked_from_age on its age state; the
+    # deterministic exploration rotation), and the step reproduces
+    # _stage_coarse_select's construction bit-for-bit: coarse top
+    # (fine_width - reserved), then merge tracked, then merge explore.
+    n_track = getattr(cfg, "track_width", 0) if coarse else 0
+    n_explore = getattr(cfg, "explore_width", 0) if coarse else 0
+    if (getattr(cfg, "track_width", 0) or getattr(cfg, "explore_width", 0)) \
+            and not coarse:
+        raise ValueError("track_width/explore_width are coarse->fine slab "
+                         "features; they require coarse_stride > 0")
 
-    def local(keys, xy, qp, ok, dsc, sdb_st, *cdb_rest):
+    def local(keys, xy, qp, ok, dsc, sdb_st, *rest):
         sdb = jax.tree.map(lambda x: x[0], sdb_st)       # this device's shard
-        cdb = (jax.tree.map(lambda x: x[0], cdb_rest[0]) if coarse else None)
+        rest = list(rest)
+        cdb = (jax.tree.map(lambda x: x[0], rest.pop(0)) if coarse else None)
+        tracked_b = rest.pop(0) if n_track else None
+        explore_b = rest.pop(0) if n_explore else None
         s = jax.lax.axis_index("db")
         o_local = sdb.spans.shape[0]
         r_shard = sdb.points.shape[0]
         n_objects = o_local * n_db
         # the object axis tier-1/tier-2 operate on: the full catalog, or —
-        # in coarse->fine mode — the selected top-fine_width slab
-        axis_n = min(cfg.fine_width, n_objects) if coarse else n_objects
+        # in coarse->fine mode — the selected slab (coarse top-k clamps to
+        # the catalog size; reserved streaming slots are appended after)
+        axis_n = (min(cfg.fine_width - n_track - n_explore, n_objects)
+                  + n_track + n_explore) if coarse else n_objects
         if coarse:
             assert axis_n % n_db == 0, \
                 f"fine_width ({axis_n}) must divide by n_db ({n_db})"
@@ -248,7 +277,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                                             "db", axis=0, tiled=True)
         spans_full = jax.lax.all_gather(sdb.spans, "db", axis=0, tiled=True)
 
-        def per_frame(key, xy_f, qp_f, ok_f, dsc_f):
+        def per_frame(key, xy_f, qp_f, ok_f, dsc_f, tracked_f, explore_f):
             if coarse:
                 # coarse sweep over this shard's subsampled objects; the
                 # gathered (Q, O) result is identical on every device, so
@@ -257,7 +286,16 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 dc = jax.lax.all_gather(dc_loc, "db", axis=1, tiled=True)
                 sel = coarse_select(dc, ok_f, cfg.radius,
                                     cfg.resolved_coarse_slack,
-                                    cfg.fine_width, act.prescreen_top)
+                                    cfg.fine_width - n_track - n_explore,
+                                    act.prescreen_top)
+                # streaming slots, merged in _stage_coarse_select's exact
+                # order (the P("data") spec replicates each frame's slot ids
+                # over 'db', so the dedup against the coarse selection is
+                # identical on every shard)
+                if tracked_f is not None:
+                    sel = merge_tracked(sel, tracked_f)
+                if explore_f is not None:
+                    sel = merge_tracked(sel, explore_f)
                 # fine pass: each shard exact-matches the selected objects
                 # it owns (global axis is shard-major: owner = id // o_local)
                 own = (sel // o_local) == s
@@ -382,7 +420,11 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 out = scatter_detections(out, sel, n_objects)
             return out
 
-        det = jax.vmap(per_frame)(keys, xy, qp, ok, dsc)
+        det = jax.vmap(per_frame,
+                       in_axes=(0, 0, 0, 0, 0,
+                                0 if n_track else None,
+                                0 if n_explore else None))(
+            keys, xy, qp, ok, dsc, tracked_b, explore_b)
         # all 'db' devices now hold identical values; replicate type-safely
         first = (jax.lax.axis_index("db") == 0)
 
@@ -395,7 +437,9 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
         return jax.tree.map(repl, det)
 
     in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"),
-                P("db")) + ((P("db"),) if coarse else ())
+                P("db")) + ((P("db"),) if coarse else ()) \
+        + ((P("data"),) if n_track else ()) \
+        + ((P("data"),) if n_explore else ())
     fn = shard_map(
         local, mesh=mesh, in_specs=in_specs,
         out_specs=jax.tree.map(lambda _: P("data"),

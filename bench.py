@@ -657,11 +657,15 @@ def main():
     # what an interactive 30 Hz camera loop feels (VERDICT r2 item 5).
     # Through the axon tunnel every sync pays the ~25-30 ms RTT, which an
     # on-device caller would not; reported as-is (no RTT subtraction).
+    # Measured through the FULL detect() API — including the packed
+    # one-download result extraction (utils/transfer.py) and host
+    # PoseResult construction — not a bare sync on one output array, so
+    # the number is what a caller of the public API actually waits.
+    det.detect(*device_scenes[0])
     lat = []
     for f in range(min(n_frames, 20)):
         t0 = time.time()
-        _, out = det.detect_raw(*device_scenes[f % len(device_scenes)])
-        np.asarray(jax.device_get(out.accepted))  # hard sync per frame
+        det.detect(*device_scenes[f % len(device_scenes)])
         lat.append(time.time() - t0)
     lat_ms = np.asarray(lat) * 1000.0
     lat_p50, lat_p95 = np.percentile(lat_ms, [50, 95])

@@ -21,6 +21,7 @@ from tod_tpu.cells.types import MatchSet, PoseResult
 from tod_tpu.geometry.detection import GuessConfig, detect_frame_from_matches
 from tod_tpu.geometry.ransac import RansacConfig
 from tod_tpu.pipeline.cell import Cell
+from tod_tpu.utils.transfer import fetch_arrays
 from tod_tpu.pipeline.tendril import Tendrils
 from tod_tpu.utils.config import parse_json_params
 
@@ -147,10 +148,8 @@ class GuessGenerator(Cell):
             jnp.asarray(matches_3d), jnp.asarray(query_pts),
             jnp.asarray(kp_xy), jnp.asarray(spans))
 
-        det_r = np.asarray(jax.device_get(det.R))
-        det_t = np.asarray(jax.device_get(det.T))
-        det_n = np.asarray(jax.device_get(det.n_inliers))
-        det_acc = np.asarray(jax.device_get(det.accepted))
+        det_r, det_t, det_n, det_acc = fetch_arrays(
+            det.R, det.T, det.n_inliers, det.accepted)
 
         for o, object_id in enumerate(object_ids):
             for inst in range(det_acc.shape[1]):
@@ -214,10 +213,8 @@ class GuessGenerator(Cell):
             jnp.asarray(kp_xy), jnp.asarray(K),
             jnp.arange(len(object_ids), dtype=jnp.int32))
 
-        det_r = np.asarray(jax.device_get(det.R))
-        det_t = np.asarray(jax.device_get(det.T))
-        det_n = np.asarray(jax.device_get(det.n_inliers))
-        det_acc = np.asarray(jax.device_get(det.accepted))
+        det_r, det_t, det_n, det_acc = fetch_arrays(
+            det.R, det.T, det.n_inliers, det.accepted)
 
         pose_results: List[PoseResult] = []
         rs: List[np.ndarray] = []

@@ -22,6 +22,7 @@ from tod_tpu.cells.types import MatchSet
 from tod_tpu.db import ObjectDbParameters, load_models_for_objects
 from tod_tpu.ops.matching import hamming_topk, pad_db
 from tod_tpu.pipeline.cell import Cell
+from tod_tpu.utils.transfer import fetch_arrays
 from tod_tpu.pipeline.tendril import Tendrils
 from tod_tpu.utils.config import parse_json_params
 
@@ -157,8 +158,7 @@ class DescriptorMatcher(Cell):
         match_fn = (_jitted_match if idx.is_binary else _jitted_match_l2)
         dist, rows = match_fn(self._k)(
             jnp.asarray(query), idx.descriptors, idx.n_descriptors)
-        dist = np.asarray(jax.device_get(dist))
-        rows = np.asarray(jax.device_get(rows))
+        dist, rows = fetch_arrays(dist, rows)   # one RTT, not two
 
         valid = rows >= 0
         if self._radius:

@@ -716,11 +716,14 @@ class FusedDetector:
 
     def detect(self, image: np.ndarray, depth: np.ndarray,
                K: np.ndarray) -> List[PoseResult]:
+        from tod_tpu.utils.transfer import fetch_arrays
+
         _, det = self.detect_raw(image, depth, K)
-        det_r = np.asarray(jax.device_get(det.R))
-        det_t = np.asarray(jax.device_get(det.T))
-        det_n = np.asarray(jax.device_get(det.n_inliers))
-        det_acc = np.asarray(jax.device_get(det.accepted))
+        # ONE packed download: per-array device_get costs a full tunnel RTT
+        # each (~100 ms of pure latency for the four arrays — measured in
+        # tools/diag_cf_stages.py)
+        det_r, det_t, det_n, det_acc = fetch_arrays(
+            det.R, det.T, det.n_inliers, det.accepted)
         results: List[PoseResult] = []
         for o, object_id in enumerate(self.object_ids):
             for inst in range(det_acc.shape[1]):

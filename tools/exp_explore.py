@@ -54,12 +54,15 @@ def main():
     from tod_tpu.utils.synthetic import DEFAULT_K
     import jax.numpy as jnp
 
-    objects, models = bench.build_db(100)
+    n_objects = int(os.environ.get("EXPLORE_OBJECTS", "100"))
+    objects, models = bench.build_db(n_objects)
     scenes = bench.build_scenes(objects, 8)
     base = bench.build_config(5000)
 
-    stride, width = 8, 16
-    e_width, t_width = 4, 4
+    stride = int(os.environ.get("EXPLORE_STRIDE", "8"))
+    width = int(os.environ.get("EXPLORE_WIDTH", "16"))
+    e_width = int(os.environ.get("EXPLORE_E", "4"))
+    t_width = int(os.environ.get("EXPLORE_T", "4"))
     ttl = int(os.environ.get("EXPLORE_TTL", "2"))
     cycle = -(-len(models) // e_width)          # 25 frames
     n_stream = cycle + 3
@@ -121,8 +124,8 @@ def main():
               f"{np.median(exp_times)*1e3:.1f} ms")
 
     out = {
-        "workload": "100-object mixed bench DB, 8 bench scenes, CF "
-                    f"stride {stride} fine_width {width}",
+        "workload": f"{n_objects}-object mixed bench DB, 8 bench scenes, "
+                    f"CF stride {stride} fine_width {width}",
         "control_recall": round(ctl_recall, 4),
         "control_ms_p50": round(float(np.median(ctl_times)) * 1e3, 2),
         "explore_width": e_width, "track_width": t_width,
@@ -134,9 +137,11 @@ def main():
         "discovery_frame_max": int(max(disc)) if disc else None,
         "first_seen": [(oid, f) for oid, f in first_seen],
     }
-    with open(os.path.join(REPO, "EXPLORE_BENCH.json"), "w") as f:
+    name = ("EXPLORE_BENCH.json" if n_objects == 100
+            else f"EXPLORE_BENCH_{n_objects}.json")
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
-    bench.log("wrote EXPLORE_BENCH.json")
+    bench.log(f"wrote {name}")
 
 
 if __name__ == "__main__":

@@ -149,14 +149,30 @@ def build_db(n_objects: int, seed: int = 0):
         cache = os.path.join(cache_dir,
                              f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}"
                              f"{sp}{ft}.npz")
-        if os.path.exists(cache):
+        hit = cache if os.path.exists(cache) else None
+        if hit is None and os.path.isdir(cache_dir):
+            # object i depends only on (i, seed, shapes, feature params), so
+            # any LARGER cached DB with the same params contains this one as
+            # an exact prefix — slice it instead of retraining
+            import re as _re
+
+            pat = _re.compile(rf"db_n(\d+)_s{seed}_d{dedup}_{shapes}"
+                              rf"{sp}{ft}\.npz$")
+            bigger = sorted(int(m.group(1)) for f in os.listdir(cache_dir)
+                            if (m := pat.match(f))
+                            and int(m.group(1)) > n_objects)
+            if bigger:
+                hit = os.path.join(
+                    cache_dir, f"db_n{bigger[0]}_s{seed}_d{dedup}_{shapes}"
+                               f"{sp}{ft}.npz")
+        if hit:
             from tod_tpu.db.models import TodModel
 
-            data = np.load(cache)
+            data = np.load(hit)
             objects = [make_obj(i) for i in range(n_objects)]
             models = [TodModel(f"obj{i:03d}", data[f"d{i}"], data[f"p{i}"])
                       for i in range(n_objects)]
-            log(f"loaded {n_objects} cached models from {cache}")
+            log(f"loaded {n_objects} cached models from {hit}")
             return objects, _recompress(models)
 
     # object i's model depends only on (i, seed, shapes, feature params) —
@@ -220,6 +236,24 @@ def build_db(n_objects: int, seed: int = 0):
         if i in (0, n_objects - 1) or (i + 1) % 20 == 0:
             log(f"  trained {i + 1}/{n_objects} objects "
                 f"({time.time()-t0:.1f}s)")
+        # milestone snapshots: long incremental builds (1000-object DB is
+        # ~600 objects of training) survive a tunnel wedge — a restarted
+        # build seeds from the last snapshot instead of starting over
+        if cache and (i + 1) % 200 == 0 and (i + 1) < n_objects \
+                and i + 1 > len(warm):
+            done = {m.object_id: m
+                    for m in load_models_for_objects(db, "all")}
+            done.update({m.object_id: m for m in warm_models})
+            snap_models = [done[o.object_id] for o in objects]
+            snap = os.path.join(cache_dir,
+                                f"db_n{i + 1}_s{seed}_d{dedup}_{shapes}"
+                                f"{sp}{ft}.npz")
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(snap, **{f"d{j}": m.descriptors for j, m in
+                              enumerate(snap_models)},
+                     **{f"p{j}": m.points for j, m in
+                        enumerate(snap_models)})
+            log(f"  snapshot {i + 1} models -> {snap}")
     models = load_models_for_objects(db, "all")
     models = {m.object_id: m for m in models}
     models.update({m.object_id: m for m in warm_models})

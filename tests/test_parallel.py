@@ -533,18 +533,22 @@ def test_serving_step_sharded_coarse_fine_matches_single_device(
     assert np.asarray(det_s.accepted).any()
 
 
+@pytest.mark.parametrize("prescreen", [0, 4])
 def test_serving_step_sharded_streaming_slots_matches_single_device(
-        devices8, rng):
+        devices8, rng, prescreen):
     """The multi-chip coarse->fine serving step with STREAMING SLOTS
     (track_width + explore_width reserved slab slots, per-frame id arrays
     supplied by the driver) equals the single-device _stage_coarse_select
     construction: coarse top-(fine_width - reserved), then merge tracked,
     then merge explore — including dedup of a tracked/explored object the
-    coarse screen also selected, and -1 holes."""
+    coarse screen also selected, and -1 holes. With ``prescreen`` > 0 the
+    reserved slots bypass the in-slab tier-1 prescreen identically on both
+    paths (reserved_force_mask)."""
     from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
                                             coarse_select,
                                             detect_frame_gathered,
-                                            merge_tracked)
+                                            merge_tracked,
+                                            reserved_force_mask)
     from tod_tpu.models.fused import FusedDetectorConfig
     from tod_tpu.ops.pallas.segmented import (object_top1,
                                               object_top1_gathered_xla,
@@ -585,7 +589,7 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
         pipeline="segmented", radius=60.0, q_cap=q_n,
         coarse_stride=3, fine_width=8, track_width=1, explore_width=3,
         activation=ActivationConfig(m_cap=64, n_hypotheses=64,
-                                    object_batch=2, prescreen=0),
+                                    object_batch=2, prescreen=prescreen),
         guess=GuessConfig(
             ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
                                 max_instances=2),
@@ -623,13 +627,15 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
                              cfg.activation.prescreen_top)
         sel1 = merge_tracked(sel1, jnp.asarray(tracked[f]))
         sel1 = merge_tracked(sel1, jnp.asarray(explore[f]))
+        force1 = reserved_force_mask(sel1, jnp.asarray(tracked[f]),
+                                     jnp.asarray(explore[f]))
         df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
                                             db_chunk=2048)
         _, det_1 = jax.jit(detect_frame_gathered,
                            static_argnums=(10, 11, 12))(
             keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
             jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
-            cfg.guess, cfg.activation, cfg.radius)
+            cfg.guess, cfg.activation, cfg.radius, force1)
         np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
                                       np.asarray(det_1.accepted))
         acc = np.asarray(det_1.accepted)

@@ -306,10 +306,17 @@ def detect_frame_segmented(
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
         points: jax.Array, obj_start: jax.Array, spans: jax.Array,
         cfg: GuessConfig, act: ActivationConfig,
-        radius: float) -> Tuple[jax.Array, ObjectDetections]:
+        radius: float,
+        force: Optional[jax.Array] = None
+) -> Tuple[jax.Array, ObjectDetections]:
     """Tier-1 presence scoring on ALL objects + tier-2 certified multi-
     instance RANSAC on the activated set. Returns ``(scores (O,),
-    ObjectDetections (O, I, ...))``."""
+    ObjectDetections (O, I, ...))``.
+
+    ``force`` (optional bool (O,)): objects that bypass the tier-1
+    prescreen ranking (reserved coarse->fine slab slots — see
+    ``reserved_force_mask``). They still compete in tier-1 itself; only
+    the cheap-statistic screen is waived."""
     n_objects = spans.shape[0]
     key_act, key_det = jax.random.split(key)
 
@@ -320,6 +327,8 @@ def detect_frame_segmented(
     if n_pre < n_objects:
         pre = prescreen_scores(dist, level, q_valid, radius,
                                act.prescreen_top)
+        if force is not None:
+            pre = jnp.where(force, jnp.inf, pre)
         _, pre_ids = jax.lax.top_k(pre, n_pre)
         pre_ids = pre_ids.astype(jnp.int32)
     else:
@@ -409,6 +418,22 @@ def merge_tracked(sel_main: jax.Array, tracked: jax.Array) -> jax.Array:
         [sel_main, jnp.where(dup | (tracked < 0), -1, tracked)])
 
 
+def reserved_force_mask(sel: jax.Array, *reserved) -> jax.Array:
+    """Boolean mask over slab slots whose object arrived via a RESERVED id
+    list (tracked / exploration slots). These bypass the tier-1 prescreen
+    ranking INSIDE the slab: the margin-mass statistic that excluded a
+    weak-texture object from the coarse screen would otherwise exclude it
+    again in tier-1, silently voiding exploration's bounded-latency
+    contract (any present object reaches tier-1 within ceil(O/E) frames)
+    and tracking's latch. Membership-based, not positional, so a reserved
+    object that ``merge_tracked`` deduplicated into its coarse slot stays
+    forced. ``None`` entries in ``reserved`` are skipped; -1 holes in both
+    ``sel`` and the id lists never match."""
+    ids = jnp.concatenate([jnp.where(r >= 0, r, -2)
+                           for r in reserved if r is not None])
+    return (sel[:, None] == ids[None, :]).any(axis=1)
+
+
 def update_age(age: jax.Array, det: ObjectDetections) -> jax.Array:
     """Advance the per-object frames-since-detected counter by one frame:
     0 where ``det`` accepted an instance, +1 (saturating) elsewhere."""
@@ -420,17 +445,20 @@ def detect_frame_gathered(
         key: jax.Array, dist: jax.Array, rows: jax.Array, sel: jax.Array,
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
         points: jax.Array, obj_start: jax.Array, spans: jax.Array,
-        cfg: GuessConfig, act: ActivationConfig, radius: float
+        cfg: GuessConfig, act: ActivationConfig, radius: float,
+        force: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, ObjectDetections]:
     """detect_frame_segmented over a gathered (Q, C) match slab whose
     columns are the objects ``sel`` (-1 = empty slot; their distances are
     HOLE_DIST, never within radius). Results are scattered back to the full
-    object axis. Returns ``(scores (O,), ObjectDetections (O, I, ...))``."""
+    object axis. ``force`` (bool (C,), optional) marks reserved slots that
+    bypass the in-slab tier-1 prescreen (``reserved_force_mask``).
+    Returns ``(scores (O,), ObjectDetections (O, I, ...))``."""
     n_objects = spans.shape[0]
     sel_safe = jnp.maximum(sel, 0)
     scores_c, det_c = detect_frame_segmented(
         key, dist, rows, q_valid, query_pts, query_xy, points,
-        obj_start[sel_safe], spans[sel_safe], cfg, act, radius)
+        obj_start[sel_safe], spans[sel_safe], cfg, act, radius, force)
     # drop-scatter so an empty slot can never clobber object 0's score
     safe = jnp.where(sel >= 0, sel, n_objects)
     scores = jnp.zeros(n_objects, scores_c.dtype).at[safe].set(

@@ -26,8 +26,8 @@ from tod_tpu.geometry.detection import (AGE_NEVER, ActivationConfig,
                                         detect_frame_from_matches,
                                         detect_frame_gathered,
                                         detect_frame_segmented,
-                                        merge_tracked, tracked_from_age,
-                                        update_age)
+                                        merge_tracked, reserved_force_mask,
+                                        tracked_from_age, update_age)
 from tod_tpu.geometry.ransac import ObjectDetections, RansacConfig
 from tod_tpu.ops.depth import depth_to_3d_sparse, to_metric_depth
 from tod_tpu.ops.image import rgb_to_gray
@@ -120,7 +120,12 @@ class FusedDetectorConfig:
     # catalog-relative screen exclusion (a weak texture whose margin-mass
     # rank falls outside fine_width at large catalogs, PROGRESS.md) from a
     # PERMANENT miss into a bounded-latency one, at the cost of E slab
-    # slots. Stateful/streaming-only like track_width: detect_batch_raw and
+    # slots. Reserved (tracked + explored) slots also BYPASS the in-slab
+    # tier-1 prescreen (reserved_force_mask): the same margin-mass
+    # statistic that coarse-excluded the object would otherwise screen it
+    # out again inside the slab; keep activation.prescreen > track_width +
+    # explore_width so coarse candidates retain tier-1 budget.
+    # Stateful/streaming-only like track_width: detect_batch_raw and
     # the sharded serving step ignore it. 0 = off (the default).
     explore_width: int = 0
     # Hot catalog updates (segmented pipeline): pad the catalog to
@@ -435,15 +440,23 @@ def _stage_coarse_select(dsc, ok, cdb, tracked=None, explore=None, *,
         # explore ids are unique by construction (host-side rotation);
         # merge_tracked holes out any already selected coarse/tracked
         sel = merge_tracked(sel, explore)
-    return sel
+    force = None
+    if tracked is not None or explore is not None:
+        # reserved-slot objects bypass the in-slab tier-1 prescreen: the
+        # same margin-mass statistic that coarse-excluded them would
+        # otherwise screen them out AGAIN inside the slab. Computed on the
+        # MERGED selection, so a reserved object deduplicated into its
+        # coarse slot stays forced (reserved_force_mask).
+        force = reserved_force_mask(sel, tracked, explore)
+    return sel, force
 
 
 def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
-                             points, obj_start, spans,
+                             points, obj_start, spans, force=None, *,
                              cfg: FusedDetectorConfig):
     return detect_frame_gathered(
         key, dist_qc, rows_qc, sel, ok, qp, xy, points, obj_start, spans,
-        cfg.guess, cfg.activation, cfg.radius)[1]
+        cfg.guess, cfg.activation, cfg.radius, force)[1]
 
 
 _jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
@@ -495,6 +508,15 @@ class FusedDetector:
                     f"track_width + explore_width ({reserved}) must leave "
                     f"coarse slots: fine_width is "
                     f"{self.config.fine_width}")
+            p = self.config.activation.prescreen
+            if 0 < p <= reserved:
+                import warnings
+                warnings.warn(
+                    f"track_width + explore_width ({reserved}) >= tier-1 "
+                    f"prescreen ({p}): reserved slab slots bypass the "
+                    f"prescreen ranking, so they would consume the ENTIRE "
+                    f"tier-1 budget and coarse-selected objects would never "
+                    f"be scored; raise activation.prescreen above {reserved}")
         if self.segmented:
             self._stages = _jitted_segmented_stages(self.config)
             self._coarse = None
@@ -627,13 +649,13 @@ class FusedDetector:
                     self._age, self.config.track_width,
                     self.config.track_ttl) if track else None
                 if track or explore:
-                    sel = c1(dsc, ok, self.cdb, tracked,
-                             self._explore_ids() if explore else None)
+                    sel, force = c1(dsc, ok, self.cdb, tracked,
+                                    self._explore_ids() if explore else None)
                 else:
-                    sel = c1(dsc, ok, self.cdb)
+                    sel, force = c1(dsc, ok, self.cdb)
                 dist, rows = c2(dsc, self.sdb, sel)
                 det = c3(sub, xy, qp, ok, dist, rows, sel, self.sdb.points,
-                         self.sdb.obj_start, self.sdb.spans)
+                         self.sdb.obj_start, self.sdb.spans, force)
                 if track:
                     self._age = _jit_age(self._age, det)
                 return None, det

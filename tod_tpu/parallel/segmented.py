@@ -217,6 +217,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     from tod_tpu.geometry.detection import (build_object_stores,
                                             coarse_select, merge_tracked,
                                             prescreen_scores,
+                                            reserved_force_mask,
                                             scatter_detections)
     from tod_tpu.geometry.ransac import (ObjectDetections,
                                          detect_object_instances,
@@ -296,6 +297,12 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                     sel = merge_tracked(sel, tracked_f)
                 if explore_f is not None:
                     sel = merge_tracked(sel, explore_f)
+                # reserved-slot objects bypass the in-slab tier-1 prescreen
+                # (same construction as _stage_coarse_select, so the forced
+                # pre_ids below stay bitwise-identical to single-device)
+                force = (reserved_force_mask(sel, tracked_f, explore_f)
+                         if (tracked_f is not None or explore_f is not None)
+                         else None)
                 # fine pass: each shard exact-matches the selected objects
                 # it owns (global axis is shard-major: owner = id // o_local)
                 own = (sel // o_local) == s
@@ -321,6 +328,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                     d = (keyz >> ROW_BITS).astype(jnp.float32)
                     r = keyz & ROW_MASK
             else:
+                force = None
                 d_loc, r_loc = _top1_for(sdb)(dsc_f, sdb,
                                               vary=("data", "db"))
                 d = jax.lax.all_gather(d_loc, "db", axis=1, tiled=True)
@@ -358,6 +366,8 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 per_dev_pre = n_pre // n_db
                 pre = prescreen_scores(d, level, ok_f, cfg.radius,
                                        act.prescreen_top)
+                if force is not None:
+                    pre = jnp.where(force, jnp.inf, pre)
                 _, pre_ids = jax.lax.top_k(pre, n_pre)
                 pre_ids = pre_ids.astype(jnp.int32)
                 my_ids = jax.lax.dynamic_slice_in_dim(

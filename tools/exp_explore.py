@@ -55,6 +55,9 @@ def main():
     import jax.numpy as jnp
 
     n_objects = int(os.environ.get("EXPLORE_OBJECTS", "100"))
+    # align the operating point with the scaling sweep: build_config's
+    # prescreen default grows with BENCH_OBJECTS (max(32, O/12))
+    os.environ.setdefault("BENCH_OBJECTS", str(n_objects))
     objects, models = bench.build_db(n_objects)
     scenes = bench.build_scenes(objects, 8)
     base = bench.build_config(5000)

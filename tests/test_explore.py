@@ -237,8 +237,15 @@ def test_force_bypasses_tier1_prescreen():
     scores_f, _ = detect_frame_segmented(key, *args, force)
     assert float(scores_f[0]) > 0, (
         "forced slot did not reach tier-1 despite prescreen bypass")
-    # the forced slot consumes one of the P=2 tier-1 slots
+    # without expansion (n_forced=0) the forced slot DISPLACES one of the
+    # P=2 tier-1 slots
     assert sum(float(s) == 0.0 for s in scores_f) >= 1
+
+    # with expansion (n_forced=1, what the serving stages pass) the tier-1
+    # set grows to P + reserved = 3: every object is scored — forcing
+    # never steals coarse candidates' budget
+    scores_e, _ = detect_frame_segmented(key, *args, force, 1)
+    assert all(float(s) > 0 for s in scores_e), np.asarray(scores_e)
 
 
 @pytest.fixture(scope="module")
@@ -263,10 +270,12 @@ def trained_trio():
 
 def test_explore_discovers_despite_slab_prescreen(trained_trio):
     """E2E streaming: 3-object catalog, both boxes dominate the margin-mass
-    statistic, slab = 2 coarse slots (the boxes) + 1 exploration slot, and
-    prescreen=2 < the 3 real slab slots — before the prescreen bypass, the
-    explored plane reached the fine slab but tier-1 never scored it (the
-    two boxes took both prescreen slots), so it was NEVER discovered."""
+    statistic, slab = 3 coarse slots + 1 exploration slot, and the tier-1
+    set is prescreen(2) + reserved(1) = 3 < the 4 slab slots — before the
+    prescreen bypass, the plane reached the fine slab but tier-1 never
+    scored it (the two boxes took both prescreen slots), so it was NEVER
+    discovered; with the bypass, the frame whose exploration slot rotates
+    onto the plane forces it into tier-1."""
     (plane, box_a, box_b), db = trained_trio
     models = load_models_for_objects(db, "all")
     rng = np.random.default_rng(5)
@@ -281,12 +290,15 @@ def test_explore_discovers_despite_slab_prescreen(trained_trio):
     cfg = FusedDetectorConfig(
         n_features=2500, pipeline="segmented", q_cap=2048, radius=50.0,
         bucket_grid=(6, 8),
-        coarse_stride=4, fine_width=3, explore_width=1,
+        coarse_stride=4, fine_width=4, explore_width=1,
         activation=ActivationConfig(m_cap=128, n_hypotheses=128,
                                     prescreen=2),
         guess=GuessConfig(ransac=RansacConfig(
             n_hypotheses=512, min_inliers=8, sensor_error=0.01),
-            max_matches_per_object=384, max_active_objects=2))
+            # room for all three: with the EXPANDED tier-1 (P=2 + 1
+            # reserved) both boxes keep their scores, so the plane must
+            # clear the activation cut on merit, not by displacing a box
+            max_matches_per_object=384, max_active_objects=3))
     det = FusedDetector(models, cfg)
 
     cycle = -(-len(models) // 1) + 1   # one full rotation + slack

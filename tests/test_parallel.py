@@ -542,8 +542,9 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
     construction: coarse top-(fine_width - reserved), then merge tracked,
     then merge explore — including dedup of a tracked/explored object the
     coarse screen also selected, and -1 holes. With ``prescreen`` > 0 the
-    reserved slots bypass the in-slab tier-1 prescreen identically on both
-    paths (reserved_force_mask)."""
+    reserved slots bypass the in-slab tier-1 prescreen and EXPAND the
+    tier-1 set (n_pre = prescreen + reserved = 8 < slab 12) identically on
+    both paths (reserved_force_mask / n_forced)."""
     from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
                                             coarse_select,
                                             detect_frame_gathered,
@@ -587,7 +588,7 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
             cursor += take
     cfg = FusedDetectorConfig(
         pipeline="segmented", radius=60.0, q_cap=q_n,
-        coarse_stride=3, fine_width=8, track_width=1, explore_width=3,
+        coarse_stride=3, fine_width=12, track_width=1, explore_width=3,
         activation=ActivationConfig(m_cap=64, n_hypotheses=64,
                                     object_batch=2, prescreen=prescreen),
         guess=GuessConfig(
@@ -632,10 +633,11 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
         df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
                                             db_chunk=2048)
         _, det_1 = jax.jit(detect_frame_gathered,
-                           static_argnums=(10, 11, 12))(
+                           static_argnums=(10, 11, 12, 14))(
             keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
             jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
-            cfg.guess, cfg.activation, cfg.radius, force1)
+            cfg.guess, cfg.activation, cfg.radius, force1,
+            cfg.track_width + cfg.explore_width)
         np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
                                       np.asarray(det_1.accepted))
         acc = np.asarray(det_1.accepted)

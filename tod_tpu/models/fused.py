@@ -123,8 +123,9 @@ class FusedDetectorConfig:
     # slots. Reserved (tracked + explored) slots also BYPASS the in-slab
     # tier-1 prescreen (reserved_force_mask): the same margin-mass
     # statistic that coarse-excluded the object would otherwise screen it
-    # out again inside the slab; keep activation.prescreen > track_width +
-    # explore_width so coarse candidates retain tier-1 budget.
+    # out again inside the slab. The tier-1 set EXPANDS by the reserved
+    # count (prescreen + track_width + explore_width objects scored), so
+    # forced slots never displace coarse candidates from the top-P budget.
     # Stateful/streaming-only like track_width: detect_batch_raw and
     # the sharded serving step ignore it. 0 = off (the default).
     explore_width: int = 0
@@ -456,7 +457,8 @@ def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
                              cfg: FusedDetectorConfig):
     return detect_frame_gathered(
         key, dist_qc, rows_qc, sel, ok, qp, xy, points, obj_start, spans,
-        cfg.guess, cfg.activation, cfg.radius, force)[1]
+        cfg.guess, cfg.activation, cfg.radius, force,
+        cfg.track_width + cfg.explore_width)[1]
 
 
 _jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
@@ -508,15 +510,6 @@ class FusedDetector:
                     f"track_width + explore_width ({reserved}) must leave "
                     f"coarse slots: fine_width is "
                     f"{self.config.fine_width}")
-            p = self.config.activation.prescreen
-            if 0 < p <= reserved:
-                import warnings
-                warnings.warn(
-                    f"track_width + explore_width ({reserved}) >= tier-1 "
-                    f"prescreen ({p}): reserved slab slots bypass the "
-                    f"prescreen ranking, so they would consume the ENTIRE "
-                    f"tier-1 budget and coarse-selected objects would never "
-                    f"be scored; raise activation.prescreen above {reserved}")
         if self.segmented:
             self._stages = _jitted_segmented_stages(self.config)
             self._coarse = None

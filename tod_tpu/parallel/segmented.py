@@ -358,11 +358,15 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 return presence_score(key_o, m, graphs, act.n_hypotheses,
                                       guess.sensor_error)
 
-            n_pre = (min(act.prescreen, axis_n) if act.prescreen > 0
-                     else axis_n)
+            # reserved slots expand the tier-1 set (forced objects never
+            # displace coarse candidates) — same formula as the
+            # single-device _stage_geometry_gathered for bitwise parity
+            n_pre = (min(act.prescreen + n_track + n_explore, axis_n)
+                     if act.prescreen > 0 else axis_n)
             if n_pre < axis_n:
                 assert n_pre % n_db == 0, \
-                    f"prescreen ({n_pre}) must divide by n_db ({n_db})"
+                    f"prescreen + reserved slots ({n_pre}) must divide " \
+                    f"by n_db ({n_db})"
                 per_dev_pre = n_pre // n_db
                 pre = prescreen_scores(d, level, ok_f, cfg.radius,
                                        act.prescreen_top)

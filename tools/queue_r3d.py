@@ -61,8 +61,12 @@ def main():
         ok = False
         for retry in range(7):
             before = os.path.getmtime(out) if os.path.exists(out) else 0.0
-            child_env = {k: v for k, v in os.environ.items()
-                         if k != "PYTHONPATH"}   # PYTHONPATH breaks axon
+            # keep PYTHONPATH exactly as inherited: the baseline
+            # PYTHONPATH=/root/.axon_site LOADS the axon plugin
+            # (sitecustomize); what breaks the plugin is PREPENDING other
+            # entries (e.g. /root/repo) — exp_explore sys.path-inserts the
+            # repo itself, so no override is needed
+            child_env = dict(os.environ)
             child_env.update(env)
             log(f"{tag}: attempt {retry + 1}/7")
             try:

@@ -247,6 +247,14 @@ def test_force_bypasses_tier1_prescreen():
     scores_e, _ = detect_frame_segmented(key, *args, force, 1)
     assert all(float(s) > 0 for s in scores_e), np.asarray(scores_e)
 
+    # force_active (tracked slots): bypasses the ACTIVATION CUT too — the
+    # object reaches tier-2 even with tier-1 score 0 (it stays screened out
+    # of tier-1), and tier-2's inlier evidence accepts it
+    scores_a, det_a = detect_frame_segmented(key, *args, None, 0, force)
+    assert float(scores_a[0]) == 0.0          # still prescreen-screened
+    assert bool(np.asarray(det_a.accepted)[0].any()), (
+        "tracked-slot activation forcing did not reach tier-2")
+
 
 @pytest.fixture(scope="module")
 def trained_trio():

@@ -630,6 +630,7 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
         sel1 = merge_tracked(sel1, jnp.asarray(explore[f]))
         force1 = reserved_force_mask(sel1, jnp.asarray(tracked[f]),
                                      jnp.asarray(explore[f]))
+        force_act1 = reserved_force_mask(sel1, jnp.asarray(tracked[f]))
         df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
                                             db_chunk=2048)
         _, det_1 = jax.jit(detect_frame_gathered,
@@ -637,7 +638,7 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
             keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
             jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
             cfg.guess, cfg.activation, cfg.radius, force1,
-            cfg.track_width + cfg.explore_width)
+            cfg.track_width + cfg.explore_width, force_act1)
         np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
                                       np.asarray(det_1.accepted))
         acc = np.asarray(det_1.accepted)

@@ -34,6 +34,27 @@ def test_tracked_from_age_picks_recent_within_ttl():
     assert got3.shape == (5,)
 
 
+def test_tracked_from_age_needy_priority():
+    """Under capacity pressure, objects the coarse screen does NOT select
+    (needy) outrank equally-recent coarse-ranked ones: three age-0 objects
+    with width 2 previously evicted the just-discovered weak find by index
+    tie-break (the measured latch failure in the CLI drive)."""
+    age = jnp.asarray([0, 0, 0], jnp.int32)
+    needy = jnp.asarray([False, False, True])
+    got = np.asarray(tracked_from_age(age, width=2, ttl=2, needy=needy))
+    assert 2 in got.tolist(), got
+    # recency still orders WITHIN a neediness class
+    age2 = jnp.asarray([2, 0, 1, 0], jnp.int32)
+    needy2 = jnp.asarray([True, False, True, False])
+    got2 = np.asarray(tracked_from_age(age2, width=3, ttl=2, needy=needy2))
+    assert got2.tolist()[:2] == [2, 0]        # needy first, recent first
+    # eligibility (ttl) still gates regardless of neediness
+    age3 = jnp.asarray([5, 0], jnp.int32)
+    needy3 = jnp.asarray([True, False])
+    got3 = np.asarray(tracked_from_age(age3, width=2, ttl=2, needy=needy3))
+    assert got3.tolist() == [1, -1]
+
+
 def test_merge_tracked_dedups_and_holes():
     sel = jnp.asarray([7, 3], jnp.int32)
     tracked = jnp.asarray([3, 9, -1], jnp.int32)

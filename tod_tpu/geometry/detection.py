@@ -307,7 +307,8 @@ def detect_frame_segmented(
         points: jax.Array, obj_start: jax.Array, spans: jax.Array,
         cfg: GuessConfig, act: ActivationConfig,
         radius: float,
-        force: Optional[jax.Array] = None, n_forced: int = 0
+        force: Optional[jax.Array] = None, n_forced: int = 0,
+        force_active: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, ObjectDetections]:
     """Tier-1 presence scoring on ALL objects + tier-2 certified multi-
     instance RANSAC on the activated set. Returns ``(scores (O,),
@@ -320,7 +321,15 @@ def detect_frame_segmented(
     the tier-1 set by the reserved-slot count so forced objects never
     displace coarse candidates from the top-P budget (displacement
     measurably cost recall: 400-object explore arm 0.917 vs 0.958);
-    empty reserved slots return their expansion slots to the ranking."""
+    empty reserved slots return their expansion slots to the ranking.
+
+    ``force_active`` (optional bool (O,)): objects that bypass the tier-1
+    ACTIVATION CUT as well — they always enter tier-2, whose acceptance
+    (inlier geometry) decides. For TRACKED slots only: a recently-accepted
+    object's persistence should ride stable tier-2 evidence, not per-frame
+    tier-1 sampling variance (the measured flicker source on weak
+    textures). Exploration slots must NOT set this (junk would waste
+    tier-2 budget every frame)."""
     n_objects = spans.shape[0]
     key_act, key_det = jax.random.split(key)
 
@@ -358,7 +367,9 @@ def detect_frame_segmented(
 
     # ---- tier 2: full certified RANSAC on the activated set ----------------
     n_active = min(cfg.max_active_objects, n_objects)
-    top_scores, active = jax.lax.top_k(scores, n_active)
+    cut = (scores if force_active is None
+           else jnp.where(force_active, jnp.inf, scores))
+    top_scores, active = jax.lax.top_k(cut, n_active)
     active = jnp.where(top_scores >= act.min_score, active, -1)
 
     stores = build_object_stores(dist, rows, q_valid, query_pts, query_xy,
@@ -399,18 +410,33 @@ def coarse_select(dist_c: jax.Array, q_valid: jax.Array, radius: float,
 AGE_NEVER = 1 << 20   # "never detected" init; update_age saturates here
 
 
-def tracked_from_age(age: jax.Array, width: int, ttl: int) -> jax.Array:
-    """The ``width`` most-recently-detected object indices (-1 = empty slot).
+def tracked_from_age(age: jax.Array, width: int, ttl: int,
+                     needy: Optional[jax.Array] = None) -> jax.Array:
+    """The ``width`` tracked object indices (-1 = empty slot).
 
     ``age[o]`` = frames since object ``o`` was last accepted (update_age);
     objects with ``age > ttl`` are not tracked. Temporal slab persistence
     for coarse->fine serving: a weak-texture object, once found, keeps a
     reserved fine-slab slot for ``ttl`` frames of misses instead of
-    re-competing through the coarse statistic every frame."""
+    re-competing through the coarse statistic every frame.
+
+    ``needy`` (bool (O,), optional): objects the coarse screen did NOT
+    select last frame. They take PRIORITY over recency: a strong object
+    the coarse statistic ranks anyway wastes its tracked slot (the
+    merge just holes out the duplicate), and under capacity pressure the
+    index tie-break evicted exactly the weak find the latch exists for
+    (three age-0 objects, width 2: the two coarse-ranked boxes evicted
+    the just-discovered plane)."""
     n = age.shape[0]
     w = min(width, n)
-    neg, ids = jax.lax.top_k(-age, w)
-    return jnp.where(-neg <= ttl, ids.astype(jnp.int32), -1)
+    a = jnp.minimum(age, ttl + 1)
+    recency = (ttl + 1 - a).astype(jnp.int32)          # ttl+1 .. 0
+    score = recency
+    if needy is not None:
+        score = recency + needy.astype(jnp.int32) * (ttl + 2)
+    score = jnp.where(age <= ttl, score, -1)
+    s, ids = jax.lax.top_k(score, w)
+    return jnp.where(s >= 0, ids.astype(jnp.int32), -1)
 
 
 def merge_tracked(sel_main: jax.Array, tracked: jax.Array) -> jax.Array:
@@ -451,7 +477,8 @@ def detect_frame_gathered(
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
         points: jax.Array, obj_start: jax.Array, spans: jax.Array,
         cfg: GuessConfig, act: ActivationConfig, radius: float,
-        force: Optional[jax.Array] = None, n_forced: int = 0
+        force: Optional[jax.Array] = None, n_forced: int = 0,
+        force_active: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, ObjectDetections]:
     """detect_frame_segmented over a gathered (Q, C) match slab whose
     columns are the objects ``sel`` (-1 = empty slot; their distances are
@@ -459,14 +486,16 @@ def detect_frame_gathered(
     object axis. ``force`` (bool (C,), optional) marks reserved slots that
     bypass the in-slab tier-1 prescreen; ``n_forced`` (static, the
     reserved-slot count) expands the tier-1 set so they never displace
-    coarse candidates (``reserved_force_mask``).
+    coarse candidates (``reserved_force_mask``); ``force_active`` (bool
+    (C,), optional, TRACKED slots only) additionally bypasses the
+    activation cut so latched objects ride tier-2 evidence.
     Returns ``(scores (O,), ObjectDetections (O, I, ...))``."""
     n_objects = spans.shape[0]
     sel_safe = jnp.maximum(sel, 0)
     scores_c, det_c = detect_frame_segmented(
         key, dist, rows, q_valid, query_pts, query_xy, points,
         obj_start[sel_safe], spans[sel_safe], cfg, act, radius, force,
-        n_forced)
+        n_forced, force_active)
     # drop-scatter so an empty slot can never clobber object 0's score
     safe = jnp.where(sel >= 0, sel, n_objects)
     scores = jnp.zeros(n_objects, scores_c.dtype).at[safe].set(

@@ -105,7 +105,11 @@ class FusedDetectorConfig:
     # track_width). A weak-texture object, once found, stays in the exact
     # fine pass instead of re-competing through the coarse statistic every
     # frame of a 30 Hz loop — selection changes, per-object results stay
-    # bitwise-exact. 0 = off (pure coarse ranking; the default). State
+    # bitwise-exact. Tracked slots are forced through the in-slab tier-1
+    # prescreen AND the activation cut (reserved_force_mask/force_active):
+    # a latched object always reaches tier-2, whose inlier evidence — not
+    # per-frame tier-1 sampling variance — decides whether the latch
+    # persists. 0 = off (pure coarse ranking; the default). State
     # lives in the FusedDetector (per-object age vector); detect_batch_raw
     # and the sharded serving step ignore it (stateless programs).
     track_width: int = 0
@@ -441,7 +445,7 @@ def _stage_coarse_select(dsc, ok, cdb, tracked=None, explore=None, *,
         # explore ids are unique by construction (host-side rotation);
         # merge_tracked holes out any already selected coarse/tracked
         sel = merge_tracked(sel, explore)
-    force = None
+    force = force_act = None
     if tracked is not None or explore is not None:
         # reserved-slot objects bypass the in-slab tier-1 prescreen: the
         # same margin-mass statistic that coarse-excluded them would
@@ -449,20 +453,37 @@ def _stage_coarse_select(dsc, ok, cdb, tracked=None, explore=None, *,
         # MERGED selection, so a reserved object deduplicated into its
         # coarse slot stays forced (reserved_force_mask).
         force = reserved_force_mask(sel, tracked, explore)
-    return sel, force
+    if tracked is not None:
+        # TRACKED objects additionally bypass the activation cut: a
+        # latched object's persistence rides tier-2 inlier evidence, not
+        # per-frame tier-1 sampling variance (the measured flicker source)
+        force_act = reserved_force_mask(sel, tracked)
+    return sel, force, force_act
 
 
 def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
-                             points, obj_start, spans, force=None, *,
+                             points, obj_start, spans, force=None,
+                             force_active=None, *,
                              cfg: FusedDetectorConfig):
     return detect_frame_gathered(
         key, dist_qc, rows_qc, sel, ok, qp, xy, points, obj_start, spans,
         cfg.guess, cfg.activation, cfg.radius, force,
-        cfg.track_width + cfg.explore_width)[1]
+        cfg.track_width + cfg.explore_width, force_active)[1]
 
 
 _jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
 _jit_age = jax.jit(update_age)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _jit_tracked_needy(age, last_coarse_sel, width, ttl):
+    """tracked_from_age with neediness from the PREVIOUS frame's coarse
+    selection: objects the coarse screen already ranks in don't need a
+    reserved slot (the merge holes out the duplicate), so under capacity
+    pressure the slots go to the weak finds the latch exists for."""
+    safe = jnp.where(last_coarse_sel >= 0, last_coarse_sel, age.shape[0])
+    needy = jnp.ones(age.shape[0], bool).at[safe].set(False, mode="drop")
+    return tracked_from_age(age, width, ttl, needy)
 
 
 @functools.lru_cache(maxsize=4)
@@ -549,6 +570,7 @@ class FusedDetector:
         # reset it — slot indices may mean different objects now.
         self._age = jnp.full(max(len(models), 1), AGE_NEVER, jnp.int32)
         self._explore_pos = 0  # rotation cursor for cfg.explore_width slots
+        self._last_coarse_sel = None  # previous frame's coarse slab slots
         if cfg.coarse_stride > 0 and models:
             c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
             sub = subsample_models(models, cfg.coarse_stride)
@@ -638,17 +660,31 @@ class FusedDetector:
                 c1, c2, c3 = self._coarse
                 track = self.config.track_width > 0
                 explore = self.config.explore_width > 0
-                tracked = _jit_tracked(
-                    self._age, self.config.track_width,
-                    self.config.track_ttl) if track else None
+                tracked = None
+                if track:
+                    tracked = (_jit_tracked_needy(
+                        self._age, self._last_coarse_sel,
+                        self.config.track_width, self.config.track_ttl)
+                        if self._last_coarse_sel is not None else
+                        _jit_tracked(self._age, self.config.track_width,
+                                     self.config.track_ttl))
                 if track or explore:
-                    sel, force = c1(dsc, ok, self.cdb, tracked,
-                                    self._explore_ids() if explore else None)
+                    sel, force, force_act = c1(
+                        dsc, ok, self.cdb, tracked,
+                        self._explore_ids() if explore else None)
                 else:
-                    sel, force = c1(dsc, ok, self.cdb)
+                    sel, force, force_act = c1(dsc, ok, self.cdb)
+                if track:
+                    # coarse-slot prefix only: an object held in the slab
+                    # by its RESERVED slot still needs one next frame
+                    n_coarse = self.config.fine_width \
+                        - self.config.track_width \
+                        - (self.config.explore_width if explore else 0)
+                    self._last_coarse_sel = sel[:n_coarse]
                 dist, rows = c2(dsc, self.sdb, sel)
                 det = c3(sub, xy, qp, ok, dist, rows, sel, self.sdb.points,
-                         self.sdb.obj_start, self.sdb.spans, force)
+                         self.sdb.obj_start, self.sdb.spans, force,
+                         force_act)
                 if track:
                     self._age = _jit_age(self._age, det)
                 return None, det

@@ -297,12 +297,16 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                     sel = merge_tracked(sel, tracked_f)
                 if explore_f is not None:
                     sel = merge_tracked(sel, explore_f)
-                # reserved-slot objects bypass the in-slab tier-1 prescreen
+                # reserved-slot objects bypass the in-slab tier-1 prescreen;
+                # TRACKED objects additionally bypass the activation cut
                 # (same construction as _stage_coarse_select, so the forced
-                # pre_ids below stay bitwise-identical to single-device)
+                # pre_ids/actives below stay bitwise-identical to
+                # single-device)
                 force = (reserved_force_mask(sel, tracked_f, explore_f)
                          if (tracked_f is not None or explore_f is not None)
                          else None)
+                force_act = (reserved_force_mask(sel, tracked_f)
+                             if tracked_f is not None else None)
                 # fine pass: each shard exact-matches the selected objects
                 # it owns (global axis is shard-major: owner = id // o_local)
                 own = (sel // o_local) == s
@@ -328,7 +332,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                     d = (keyz >> ROW_BITS).astype(jnp.float32)
                     r = keyz & ROW_MASK
             else:
-                force = None
+                force = force_act = None
                 d_loc, r_loc = _top1_for(sdb)(dsc_f, sdb,
                                               vary=("data", "db"))
                 d = jax.lax.all_gather(d_loc, "db", axis=1, tiled=True)
@@ -399,7 +403,9 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 scores = jax.lax.all_gather(scores_loc, "db", axis=0,
                                             tiled=True)
 
-            top_scores, active = jax.lax.top_k(scores, n_active)
+            cut = (scores if force_act is None
+                   else jnp.where(force_act, jnp.inf, scores))
+            top_scores, active = jax.lax.top_k(cut, n_active)
             active = jnp.where(top_scores >= act.min_score, active, -1)
 
             # ---- tier 2 on THIS device's slice of the active set ----------

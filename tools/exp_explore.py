@@ -100,6 +100,7 @@ def main():
         # reset streaming state: each scene is an independent stream
         det._age = jnp.full_like(det._age, AGE_NEVER)
         det._explore_pos = 0
+        det._last_coarse_sel = None
         frame = det.prepare_frame(image, depth, DEFAULT_K)
         seen = {}
         tail = []

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from tod_tpu.models.fused import FusedDetectorConfig, pack_models
 from tod_tpu.db.models import TodModel
 from tod_tpu.geometry.detection import GuessConfig
-from tod_tpu.geometry.ransac import RansacConfig
+from tod_tpu.geometry.ransac import RansacConfig, SeedPose
 from tod_tpu.ops.matching import hamming_topk, pad_db
 from tod_tpu.parallel import (
     detect_batch_sharded,
@@ -586,6 +586,8 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
             dsc[f, cursor:cursor + take] = m.descriptors[sel_rows]
             ok[f, cursor:cursor + take] = True
             cursor += take
+            if (f, i) == (0, 5):
+                gt_r5, gt_t5 = Rg.astype(np.float32), Tg
     cfg = FusedDetectorConfig(
         pipeline="segmented", radius=60.0, q_cap=q_n,
         coarse_stride=3, fine_width=12, track_width=1, explore_width=3,
@@ -607,12 +609,23 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
         subsample_models(models, cfg.coarse_stride), n_shards=4,
         db_chunk=2048)
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    # tracked-pose seeding operands (track_width > 0): frame 0 seeds the
+    # tracked object o5 with its TRUE pose (shard-major object axis)
+    n_total = len(ids)
+    seed_r = np.broadcast_to(np.eye(3, dtype=np.float32),
+                             (2, n_total, 3, 3)).copy()
+    seed_t = np.zeros((2, n_total, 3), np.float32)
+    seed_ok = np.zeros((2, n_total), bool)
+    o5 = ids.index("o5")
+    seed_r[0, o5], seed_t[0, o5], seed_ok[0, o5] = gt_r5, gt_t5, True
     with mesh:
         fn = serving_step_sharded(mesh, cfg,
                                   fine_max_chunks=stacked_max_chunks(stacked))
         det_s = fn(keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
                    jnp.asarray(dsc), stacked, cstacked,
-                   jnp.asarray(tracked), jnp.asarray(explore))
+                   jnp.asarray(tracked), jnp.asarray(explore),
+                   jnp.asarray(seed_r), jnp.asarray(seed_t),
+                   jnp.asarray(seed_ok))
 
     by_id = {m.object_id: m for m in models}
     ordered = [by_id[i] for i in ids]
@@ -633,12 +646,14 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
         force_act1 = reserved_force_mask(sel1, jnp.asarray(tracked[f]))
         df1, rf1 = object_top1_gathered_xla(jnp.asarray(dsc[f]), db1, sel1,
                                             db_chunk=2048)
+        seeds1 = SeedPose(R=jnp.asarray(seed_r[f]), T=jnp.asarray(seed_t[f]),
+                          ok=jnp.asarray(seed_ok[f]))
         _, det_1 = jax.jit(detect_frame_gathered,
                            static_argnums=(10, 11, 12, 14))(
             keys[f], df1, rf1, sel1, jnp.asarray(ok[f]), jnp.asarray(qp[f]),
             jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
             cfg.guess, cfg.activation, cfg.radius, force1,
-            cfg.track_width + cfg.explore_width, force_act1)
+            cfg.track_width + cfg.explore_width, force_act1, seeds1)
         np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
                                       np.asarray(det_1.accepted))
         acc = np.asarray(det_1.accepted)

@@ -168,6 +168,30 @@ def test_tracking_keeps_evicted_object_in_slab(trained_pair):
     assert min(dts) < 0.02, dts
 
 
+def test_tracked_pose_state_feeds_seeding(trained_pair):
+    """The streaming loop's last-accepted-pose state (tracked-pose seeding,
+    geometry/ransac.py SeedPose): after an accepted detection the per-object
+    age resets and _last_R/_last_T hold a pose near the ground truth, so the
+    next frame's tier-2 is seeded with it."""
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame1, _, pose_p = _frames(plane, box)
+
+    det = FusedDetector(models, _cfg(fine_width=2, track_width=1))
+    r1 = det.detect(frame1[0], frame1[1], DEFAULT_K)
+    assert any(r.object_id == "weak_plane" for r in r1)
+    idx = det.object_ids.index("weak_plane")
+    assert int(det._age[idx]) == 0
+    assert np.linalg.norm(np.asarray(det._last_T[idx]) - pose_p[1]) < 0.02
+    # the seed helper marks exactly the live latches
+    from tod_tpu.models.fused import _jit_seeds
+    seeds = _jit_seeds(det._age, det._last_R, det._last_T,
+                       det.config.track_ttl)
+    assert bool(seeds.ok[idx])
+    other = det.object_ids.index("strong_box")
+    assert not bool(seeds.ok[other])
+
+
 def test_control_without_tracking_drops_evicted_object(trained_pair):
     """The same frames through a width-1 slab with no reserved slot: the
     box's dominant coarse statistic evicts the present plane (this is the

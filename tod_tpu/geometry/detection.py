@@ -23,6 +23,7 @@ from tod_tpu.geometry.adjacency import ObjectMatches, fill_adjacency
 from tod_tpu.geometry.ransac import (
     ObjectDetections,
     RansacConfig,
+    SeedPose,
     detect_object_instances,
     presence_score,
 )
@@ -114,21 +115,34 @@ def cluster_matches(obj_idx: jax.Array, dist: jax.Array, valid: jax.Array,
 
 
 def detect_objects(key: jax.Array, matches: ObjectMatches, spans: jax.Array,
-                   cfg: GuessConfig) -> ObjectDetections:
+                   cfg: GuessConfig,
+                   seeds: Optional[SeedPose] = None) -> ObjectDetections:
     """Adjacency fill + multi-instance graph-RANSAC for every object.
 
-    ``matches``: ObjectMatches stacked with leading dim O; ``spans``: (O,).
+    ``matches``: ObjectMatches stacked with leading dim O; ``spans``: (O,);
+    ``seeds`` (optional): SeedPose stacked (O, ...) — each object's tracked
+    last-accepted pose entering round 1 as one extra hypothesis.
     Returns ObjectDetections stacked (O, I, ...).
     """
     n_objects = spans.shape[0]
     keys = jax.random.split(key, n_objects)
 
-    def per_object(args):
-        key_o, m, span = args
-        graphs = fill_adjacency(m, span, cfg.sensor_error)
-        return detect_object_instances(key_o, m, graphs, cfg.ransac)
+    if seeds is None:
+        def per_object(args):
+            key_o, m, span = args
+            graphs = fill_adjacency(m, span, cfg.sensor_error)
+            return detect_object_instances(key_o, m, graphs, cfg.ransac)
 
-    return jax.lax.map(per_object, (keys, matches, spans),
+        return jax.lax.map(per_object, (keys, matches, spans),
+                           batch_size=min(cfg.object_batch,
+                                          max(n_objects, 1)))
+
+    def per_object_seeded(args):
+        key_o, m, span, seed = args
+        graphs = fill_adjacency(m, span, cfg.sensor_error)
+        return detect_object_instances(key_o, m, graphs, cfg.ransac, seed)
+
+    return jax.lax.map(per_object_seeded, (keys, matches, spans, seeds),
                        batch_size=min(cfg.object_batch, max(n_objects, 1)))
 
 
@@ -308,11 +322,17 @@ def detect_frame_segmented(
         cfg: GuessConfig, act: ActivationConfig,
         radius: float,
         force: Optional[jax.Array] = None, n_forced: int = 0,
-        force_active: Optional[jax.Array] = None
+        force_active: Optional[jax.Array] = None,
+        seeds: Optional[SeedPose] = None
 ) -> Tuple[jax.Array, ObjectDetections]:
     """Tier-1 presence scoring on ALL objects + tier-2 certified multi-
     instance RANSAC on the activated set. Returns ``(scores (O,),
     ObjectDetections (O, I, ...))``.
+
+    ``seeds`` (optional SeedPose stacked on THIS object axis (O, ...)):
+    tracked last-accepted poses entering each active object's first RANSAC
+    round as one extra hypothesis (temporal pose persistence — removes
+    per-frame sampling variance once found; acceptance contract unchanged).
 
     ``force`` (optional bool (O,)): objects that bypass the tier-1
     prescreen ranking (reserved coarse->fine slab slots — see
@@ -376,7 +396,12 @@ def detect_frame_segmented(
                                  points, obj_start, active,
                                  cfg.max_matches_per_object, radius, level)
     act_spans = spans[jnp.maximum(active, 0)]
-    det = detect_objects(key_det, stores, act_spans, cfg)
+    act_seeds = None
+    if seeds is not None:
+        a_safe = jnp.maximum(active, 0)
+        act_seeds = SeedPose(R=seeds.R[a_safe], T=seeds.T[a_safe],
+                             ok=seeds.ok[a_safe] & (active >= 0))
+    det = detect_objects(key_det, stores, act_spans, cfg, act_seeds)
     det = ObjectDetections(
         R=det.R, T=det.T, n_inliers=det.n_inliers,
         accepted=det.accepted & (active >= 0)[:, None])
@@ -478,7 +503,8 @@ def detect_frame_gathered(
         points: jax.Array, obj_start: jax.Array, spans: jax.Array,
         cfg: GuessConfig, act: ActivationConfig, radius: float,
         force: Optional[jax.Array] = None, n_forced: int = 0,
-        force_active: Optional[jax.Array] = None
+        force_active: Optional[jax.Array] = None,
+        seeds: Optional[SeedPose] = None
 ) -> Tuple[jax.Array, ObjectDetections]:
     """detect_frame_segmented over a gathered (Q, C) match slab whose
     columns are the objects ``sel`` (-1 = empty slot; their distances are
@@ -488,14 +514,20 @@ def detect_frame_gathered(
     reserved-slot count) expands the tier-1 set so they never displace
     coarse candidates (``reserved_force_mask``); ``force_active`` (bool
     (C,), optional, TRACKED slots only) additionally bypasses the
-    activation cut so latched objects ride tier-2 evidence.
+    activation cut so latched objects ride tier-2 evidence; ``seeds``
+    (optional SeedPose on the FULL object axis (O, ...)) threads tracked
+    last-accepted poses into tier-2 (gathered to the slab here).
     Returns ``(scores (O,), ObjectDetections (O, I, ...))``."""
     n_objects = spans.shape[0]
     sel_safe = jnp.maximum(sel, 0)
+    slab_seeds = None
+    if seeds is not None:
+        slab_seeds = SeedPose(R=seeds.R[sel_safe], T=seeds.T[sel_safe],
+                              ok=seeds.ok[sel_safe] & (sel >= 0))
     scores_c, det_c = detect_frame_segmented(
         key, dist, rows, q_valid, query_pts, query_xy, points,
         obj_start[sel_safe], spans[sel_safe], cfg, act, radius, force,
-        n_forced, force_active)
+        n_forced, force_active, slab_seeds)
     # drop-scatter so an empty slot can never clobber object 0's score
     safe = jnp.where(sel >= 0, sel, n_objects)
     scores = jnp.zeros(n_objects, scores_c.dtype).at[safe].set(

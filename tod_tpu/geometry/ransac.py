@@ -44,7 +44,8 @@ from tod_tpu.geometry.adjacency import (
     count_unique_query_indices,
     invalidate_query_indices,
 )
-from tod_tpu.geometry.transforms import apply_rt, invert_pose, kabsch
+from tod_tpu.geometry.transforms import (RigidFit, apply_rt, invert_pose,
+                                         kabsch)
 
 NEG_INF = -jnp.inf
 
@@ -95,6 +96,21 @@ class RansacRound(NamedTuple):
     inliers: jax.Array    # (M,) bool — final inlier matches
     n_unique: jax.Array   # () int32 — unique query keypoints among inliers
     found: jax.Array      # () bool
+
+
+class SeedPose(NamedTuple):
+    """Optional extra tier-2 hypothesis from temporal tracking: the object's
+    last ACCEPTED pose (output convention, object->camera — exactly what
+    ObjectDetections stores). It enters the hypothesis pool as one more
+    candidate and competes under the unchanged acceptance contract
+    (residual inliers, clique certificate, min_inliers unique keypoints),
+    so a stale or wrong seed can never be accepted on trust — it only
+    removes per-frame sampling variance once an object has been found
+    (the measured steady-state flicker source on weak textures)."""
+
+    R: jax.Array    # (3,3) object->camera
+    T: jax.Array    # (3,)
+    ok: jax.Array   # () bool — False = no seed (pool unchanged in effect)
 
 
 def _masked_gumbel_argmax(key, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -216,12 +232,16 @@ def presence_score(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
 
 
 def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
-                 valid: jax.Array, cfg: RansacConfig) -> RansacRound:
+                 valid: jax.Array, cfg: RansacConfig,
+                 seed: Optional[SeedPose] = None) -> RansacRound:
     """One full RANSAC + refinement on the current valid-match mask.
 
     Returns the best pose in the reference's output convention
-    (object/model frame -> camera frame, after inversion).
-    """
+    (object/model frame -> camera frame, after inversion). ``seed``
+    (optional) appends one tracked-pose hypothesis to the pool — see
+    :class:`SeedPose`; no extra RNG is consumed, and ties against sampled
+    hypotheses resolve to the sampled one (argmax picks the lowest index),
+    so a disabled seed (``ok=False``) leaves results identical."""
     m_cap = valid.shape[0]
     q, t = matches.query_pts, matches.train_pts
     sigma = cfg.sensor_error
@@ -231,6 +251,20 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
         key, matches, graphs, valid, b, sigma,
         use_residual_test=cfg.use_residual_test,
         weighted=cfg.weighted_sampling)
+
+    if seed is not None:
+        # internal fit convention maps query (camera) -> training (object):
+        # the stored output pose is its inverse
+        r_s, t_s = invert_pose(seed.R, seed.T)
+        res_s = ((apply_rt(r_s, t_s, q) - t) ** 2).sum(-1)     # (M,)
+        in_s = valid & (res_s < sigma * sigma) & seed.ok
+        fit = RigidFit(R=jnp.concatenate([fit.R, r_s[None]]),
+                       T=jnp.concatenate([fit.T, t_s[None]]),
+                       ok=jnp.concatenate([fit.ok, seed.ok[None]]))
+        inlier = jnp.concatenate([inlier, in_s[None]])
+        n_in = jnp.concatenate(
+            [n_in, in_s.sum()[None].astype(jnp.int32)])
+        b = b + 1
 
     # --- clique certification on the top hypotheses --------------------------
     minimal = cfg.clique_minimal_size
@@ -321,7 +355,9 @@ class ObjectDetections(NamedTuple):
 
 def detect_object_instances(key, matches: ObjectMatches,
                             graphs: AdjacencyGraphs,
-                            cfg: RansacConfig) -> ObjectDetections:
+                            cfg: RansacConfig,
+                            seed: Optional[SeedPose] = None
+                            ) -> ObjectDetections:
     """The reference's repeated-RANSAC multi-instance loop
     (GuessGenerator.cpp:192-231): run RANSAC, accept the pose if it has at
     least ``min_inliers`` unique query keypoints, invalidate those keypoints'
@@ -336,11 +372,17 @@ def detect_object_instances(key, matches: ObjectMatches,
     rounds anyway, a failed round here masks only itself instead of
     blocking the rest — strictly better recall at identical cost, and any
     accepted pose still holds the reference's acceptance contract
-    (>= min_inliers unique keypoints + clique certificate)."""
+    (>= min_inliers unique keypoints + clique certificate).
 
-    def make_step(round_cfg):
+    ``seed`` (optional :class:`SeedPose`): tracked-pose hypothesis for the
+    FIRST round only — the instance the seed describes is found (or not)
+    there, and continuation rounds search for OTHER instances among the
+    keypoints the first round left valid."""
+
+    def make_step(round_cfg, round_seed=None):
         def step(valid, key_i):
-            round_ = ransac_round(key_i, matches, graphs, valid, round_cfg)
+            round_ = ransac_round(key_i, matches, graphs, valid, round_cfg,
+                                  round_seed)
             accept = round_.found & (round_.n_unique >= cfg.min_inliers)
             valid_next = jnp.where(
                 accept,
@@ -354,14 +396,22 @@ def detect_object_instances(key, matches: ObjectMatches,
 
     keys = jax.random.split(key, cfg.max_instances)
     cont = cfg.continuation_hypotheses
-    if cont and cont < cfg.n_hypotheses and cfg.max_instances > 1:
-        # full budget for the first round, lean budget for continuations
-        valid1, out1 = make_step(cfg)(graphs.valid, keys[0])
-        cont_cfg = dataclasses.replace(cfg, n_hypotheses=cont)
+    split_first = (cont and cont < cfg.n_hypotheses
+                   and cfg.max_instances > 1) or \
+        (seed is not None and cfg.max_instances > 1)
+    if split_first:
+        # full budget (+ the seed hypothesis) for the first round; lean
+        # budget for continuations when configured
+        valid1, out1 = make_step(cfg, seed)(graphs.valid, keys[0])
+        cont_cfg = (dataclasses.replace(cfg, n_hypotheses=cont)
+                    if cont and cont < cfg.n_hypotheses else cfg)
         _, out_rest = jax.lax.scan(make_step(cont_cfg), valid1, keys[1:])
         rs, ts, counts, accepted = (
             jnp.concatenate([a[None], b])
             for a, b in zip(out1, out_rest))
+    elif cfg.max_instances == 1:
+        _, out1 = make_step(cfg, seed)(graphs.valid, keys[0])
+        rs, ts, counts, accepted = (a[None] for a in out1)
     else:
         _, (rs, ts, counts, accepted) = jax.lax.scan(
             make_step(cfg), graphs.valid, keys)

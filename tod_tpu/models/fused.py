@@ -28,7 +28,8 @@ from tod_tpu.geometry.detection import (AGE_NEVER, ActivationConfig,
                                         detect_frame_segmented,
                                         merge_tracked, reserved_force_mask,
                                         tracked_from_age, update_age)
-from tod_tpu.geometry.ransac import ObjectDetections, RansacConfig
+from tod_tpu.geometry.ransac import (ObjectDetections, RansacConfig,
+                                     SeedPose)
 from tod_tpu.ops.depth import depth_to_3d_sparse, to_metric_depth
 from tod_tpu.ops.image import rgb_to_gray
 from tod_tpu.ops.matching import hamming_topk, pad_db
@@ -463,16 +464,39 @@ def _stage_coarse_select(dsc, ok, cdb, tracked=None, explore=None, *,
 
 def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
                              points, obj_start, spans, force=None,
-                             force_active=None, *,
+                             force_active=None, seeds=None, *,
                              cfg: FusedDetectorConfig):
     return detect_frame_gathered(
         key, dist_qc, rows_qc, sel, ok, qp, xy, points, obj_start, spans,
         cfg.guess, cfg.activation, cfg.radius, force,
-        cfg.track_width + cfg.explore_width, force_active)[1]
+        cfg.track_width + cfg.explore_width, force_active, seeds)[1]
 
 
 _jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
 _jit_age = jax.jit(update_age)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _jit_seeds(age, last_r, last_t, ttl):
+    """Tracked-pose seeds on the full object axis: an object detected
+    within the last ``ttl`` frames re-enters tier-2 with its last ACCEPTED
+    pose as one extra hypothesis (SeedPose semantics, geometry/ransac.py).
+    Not limited to the tracked-slot width — any slab object with a live
+    latch benefits."""
+    return SeedPose(R=last_r, T=last_t, ok=age <= ttl)
+
+
+@jax.jit
+def _jit_update_pose(last_r, last_t, det):
+    """Fold this frame's detections into the last-accepted-pose state:
+    per object, the accepted instance with the most inliers (unchanged
+    where nothing was accepted)."""
+    score = jnp.where(det.accepted, det.n_inliers, -1)
+    best = jnp.argmax(score, axis=1)
+    o = jnp.arange(last_r.shape[0])
+    acc = det.accepted.any(axis=1)
+    return (jnp.where(acc[:, None, None], det.R[o, best], last_r),
+            jnp.where(acc[:, None], det.T[o, best], last_t))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -571,6 +595,11 @@ class FusedDetector:
         self._age = jnp.full(max(len(models), 1), AGE_NEVER, jnp.int32)
         self._explore_pos = 0  # rotation cursor for cfg.explore_width slots
         self._last_coarse_sel = None  # previous frame's coarse slab slots
+        # last ACCEPTED pose per object slot (tracked-pose seeding,
+        # cfg.track_width): re-packs reset it with the age state above
+        n_slots = max(len(models), 1)
+        self._last_R = jnp.zeros((n_slots, 3, 3), jnp.float32)
+        self._last_T = jnp.zeros((n_slots, 3), jnp.float32)
         if cfg.coarse_stride > 0 and models:
             c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
             sub = subsample_models(models, cfg.coarse_stride)
@@ -681,12 +710,17 @@ class FusedDetector:
                         - self.config.track_width \
                         - (self.config.explore_width if explore else 0)
                     self._last_coarse_sel = sel[:n_coarse]
+                seeds = (_jit_seeds(self._age, self._last_R, self._last_T,
+                                    self.config.track_ttl)
+                         if track else None)
                 dist, rows = c2(dsc, self.sdb, sel)
                 det = c3(sub, xy, qp, ok, dist, rows, sel, self.sdb.points,
                          self.sdb.obj_start, self.sdb.spans, force,
-                         force_act)
+                         force_act, seeds)
                 if track:
                     self._age = _jit_age(self._age, det)
+                    self._last_R, self._last_T = _jit_update_pose(
+                        self._last_R, self._last_T, det)
                 return None, det
             dist, rows = s2(dsc, self.sdb)
             det = s3(sub, xy, qp, ok, dist, rows, self.sdb.points,

@@ -219,7 +219,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                                             prescreen_scores,
                                             reserved_force_mask,
                                             scatter_detections)
-    from tod_tpu.geometry.ransac import (ObjectDetections,
+    from tod_tpu.geometry.ransac import (ObjectDetections, SeedPose,
                                          detect_object_instances,
                                          presence_score)
     from tod_tpu.ops.pallas.segmented import (ROW_BITS, ROW_MASK,
@@ -247,6 +247,11 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
             and not coarse:
         raise ValueError("track_width/explore_width are coarse->fine slab "
                          "features; they require coarse_stride > 0")
+    # Tracked-pose seeding (cfg.track_width > 0): the fn takes THREE more
+    # trailing per-frame operands after tracked/explore — seed_R
+    # (B, O_total, 3, 3), seed_T (B, O_total, 3), seed_ok (B, O_total) —
+    # the driver's last-accepted-pose state on the full object axis,
+    # exactly what the single-device streaming loop feeds _jit_seeds.
 
     def local(keys, xy, qp, ok, dsc, sdb_st, *rest):
         sdb = jax.tree.map(lambda x: x[0], sdb_st)       # this device's shard
@@ -254,6 +259,8 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
         cdb = (jax.tree.map(lambda x: x[0], rest.pop(0)) if coarse else None)
         tracked_b = rest.pop(0) if n_track else None
         explore_b = rest.pop(0) if n_explore else None
+        seeds_b = (SeedPose(R=rest.pop(0), T=rest.pop(0), ok=rest.pop(0))
+                   if n_track else None)
         s = jax.lax.axis_index("db")
         o_local = sdb.spans.shape[0]
         r_shard = sdb.points.shape[0]
@@ -278,7 +285,8 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                                             "db", axis=0, tiled=True)
         spans_full = jax.lax.all_gather(sdb.spans, "db", axis=0, tiled=True)
 
-        def per_frame(key, xy_f, qp_f, ok_f, dsc_f, tracked_f, explore_f):
+        def per_frame(key, xy_f, qp_f, ok_f, dsc_f, tracked_f, explore_f,
+                      seeds_f):
             if coarse:
                 # coarse sweep over this shard's subsampled objects; the
                 # gathered (Q, O) result is identical on every device, so
@@ -418,14 +426,36 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
             act_spans = axis_spans[jnp.maximum(my_active, 0)]
             keys2 = jax.lax.dynamic_slice_in_dim(
                 jax.random.split(key_det, n_active), s * per_dev, per_dev)
+            my_seeds = None
+            if seeds_f is not None:
+                # same two-step gather the single-device path does:
+                # full object axis -> slab slots (coarse mode) -> actives
+                if coarse:
+                    axis_seeds = SeedPose(
+                        R=seeds_f.R[jnp.maximum(sel, 0)],
+                        T=seeds_f.T[jnp.maximum(sel, 0)],
+                        ok=seeds_f.ok[jnp.maximum(sel, 0)] & (sel >= 0))
+                else:
+                    axis_seeds = seeds_f
+                a_safe = jnp.maximum(my_active, 0)
+                my_seeds = SeedPose(
+                    R=axis_seeds.R[a_safe], T=axis_seeds.T[a_safe],
+                    ok=axis_seeds.ok[a_safe] & (my_active >= 0))
 
             def per_object(args):
+                if my_seeds is not None:
+                    key_o, m, span, seed = args
+                    graphs = fill_adjacency(m, span, guess.sensor_error)
+                    return detect_object_instances(key_o, m, graphs,
+                                                   guess.ransac, seed)
                 key_o, m, span = args
                 graphs = fill_adjacency(m, span, guess.sensor_error)
                 return detect_object_instances(key_o, m, graphs, guess.ransac)
 
+            operands = ((keys2, stores, act_spans) if my_seeds is None
+                        else (keys2, stores, act_spans, my_seeds))
             det = jax.lax.map(
-                per_object, (keys2, stores, act_spans),
+                per_object, operands,
                 batch_size=min(guess.object_batch, max(per_dev, 1)))
             det = ObjectDetections(
                 R=det.R, T=det.T, n_inliers=det.n_inliers,
@@ -443,8 +473,9 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
         det = jax.vmap(per_frame,
                        in_axes=(0, 0, 0, 0, 0,
                                 0 if n_track else None,
-                                0 if n_explore else None))(
-            keys, xy, qp, ok, dsc, tracked_b, explore_b)
+                                0 if n_explore else None,
+                                SeedPose(0, 0, 0) if n_track else None))(
+            keys, xy, qp, ok, dsc, tracked_b, explore_b, seeds_b)
         # all 'db' devices now hold identical values; replicate type-safely
         first = (jax.lax.axis_index("db") == 0)
 
@@ -459,7 +490,8 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"),
                 P("db")) + ((P("db"),) if coarse else ()) \
         + ((P("data"),) if n_track else ()) \
-        + ((P("data"),) if n_explore else ())
+        + ((P("data"),) if n_explore else ()) \
+        + ((P("data"), P("data"), P("data")) if n_track else ())
     fn = shard_map(
         local, mesh=mesh, in_specs=in_specs,
         out_specs=jax.tree.map(lambda _: P("data"),

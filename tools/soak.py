@@ -1,0 +1,106 @@
+"""Serving soak test: drive the streaming detector for N frames and report
+steady-state throughput, latency drift, host RSS drift, and recall
+stability — the long-run health check a production deployment needs that
+no single-shot bench covers.
+
+Cycles the 8 bench scenes frame by frame (state persists across frames
+like a real camera loop; tracking/exploration active when configured).
+
+Env: SOAK_FRAMES (default 1000), SOAK_OBJECTS (default 100),
+SOAK_COARSE/SOAK_FINE/SOAK_E/SOAK_T (default: bench serving defaults, no
+coarse->fine), DIAG_PLATFORM (unset = TPU).
+
+Run: cd /root/repo && python tools/soak.py      (TPU; one client)
+Writes SOAK.json.
+"""
+
+import dataclasses
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main():
+    bench.log(f"devices: {bench.wait_for_devices()}")
+    from tod_tpu.models import FusedDetector
+    from tod_tpu.utils.synthetic import DEFAULT_K
+
+    n_frames = int(os.environ.get("SOAK_FRAMES", "1000"))
+    n_objects = int(os.environ.get("SOAK_OBJECTS", "100"))
+    os.environ.setdefault("BENCH_OBJECTS", str(n_objects))
+    objects, models = bench.build_db(n_objects)
+    scenes = bench.build_scenes(objects, 8)
+    cfg = bench.build_config(5000)
+    stride = int(os.environ.get("SOAK_COARSE", "0"))
+    if stride:
+        cfg = dataclasses.replace(
+            cfg, coarse_stride=stride,
+            fine_width=int(os.environ.get("SOAK_FINE", "64")),
+            explore_width=int(os.environ.get("SOAK_E", "8")),
+            track_width=int(os.environ.get("SOAK_T", "8")))
+    det = FusedDetector(models, cfg)
+
+    frames = [det.prepare_frame(img, dep, DEFAULT_K)
+              for img, dep, _ in scenes]
+    gts = [gt for _, _, gt in scenes]
+    det.detect(*frames[0])                       # compile before timing
+
+    times, hits, placed = [], 0, 0
+    window = max(50, n_frames // 10)
+    t_start = time.time()
+    rss0 = rss_mb()
+    for t in range(n_frames):
+        s = t % len(frames)
+        t0 = time.time()
+        found = det.detect(*frames[s])
+        times.append(time.time() - t0)
+        for oid, _r, gt_t in gts[s]:
+            placed += 1
+            if any(r.object_id == oid
+                   and float(np.linalg.norm(r.T - gt_t)) <= 0.02
+                   for r in found):
+                hits += 1
+        if (t + 1) % window == 0:
+            w = times[-window:]
+            bench.log(f"  frame {t + 1}/{n_frames}: window p50 "
+                      f"{np.median(w) * 1e3:.1f} ms, rss {rss_mb():.0f} MB")
+    wall = time.time() - t_start
+
+    first = times[:window]
+    last = times[-window:]
+    out = {
+        "frames": n_frames,
+        "objects": n_objects,
+        "coarse_stride": stride,
+        "fps_overall": n_frames / wall,
+        "ms_p50_first_window": float(np.median(first) * 1e3),
+        "ms_p50_last_window": float(np.median(last) * 1e3),
+        "ms_p95_overall": float(np.percentile(times, 95) * 1e3),
+        "ms_p99_overall": float(np.percentile(times, 99) * 1e3),
+        "ms_max": float(np.max(times) * 1e3),
+        "latency_drift_pct": float(
+            (np.median(last) / np.median(first) - 1.0) * 100.0),
+        "recall_at_2cm_overall": hits / max(placed, 1),
+        "rss_start_mb": rss0,
+        "rss_end_mb": rss_mb(),
+    }
+    bench.log(json.dumps(out))
+    with open(os.path.join(REPO, "SOAK.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

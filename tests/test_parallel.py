@@ -621,11 +621,15 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
     with mesh:
         fn = serving_step_sharded(mesh, cfg,
                                   fine_max_chunks=stacked_max_chunks(stacked))
-        det_s = fn(keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
-                   jnp.asarray(dsc), stacked, cstacked,
-                   jnp.asarray(tracked), jnp.asarray(explore),
-                   jnp.asarray(seed_r), jnp.asarray(seed_t),
-                   jnp.asarray(seed_ok))
+        det_s, last_sel = fn(
+            keys, jnp.asarray(xy), jnp.asarray(qp), jnp.asarray(ok),
+            jnp.asarray(dsc), stacked, cstacked,
+            jnp.asarray(tracked), jnp.asarray(explore),
+            jnp.asarray(seed_r), jnp.asarray(seed_t), jnp.asarray(seed_ok))
+    # with track_width > 0 the step also returns the coarse-slot prefix
+    # (the driver's needy-first eviction input)
+    assert np.asarray(last_sel).shape == (
+        2, cfg.fine_width - cfg.track_width - cfg.explore_width)
 
     by_id = {m.object_id: m for m in models}
     ordered = [by_id[i] for i in ids]
@@ -654,6 +658,9 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
             jnp.asarray(xy[f]), db1.points, db1.obj_start, db1.spans,
             cfg.guess, cfg.activation, cfg.radius, force1,
             cfg.track_width + cfg.explore_width, force_act1, seeds1)
+        np.testing.assert_array_equal(
+            np.asarray(last_sel[f]),
+            np.asarray(sel1)[:cfg.fine_width - reserved])
         np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
                                       np.asarray(det_1.accepted))
         acc = np.asarray(det_1.accepted)
@@ -760,3 +767,123 @@ def test_serving_step_sharded_coarse_fine_l2_matches_single_device(
         np.testing.assert_array_equal(np.asarray(det_s.n_inliers[f]),
                                       np.asarray(det_1.n_inliers))
     assert np.asarray(det_s.accepted).any()
+
+
+def test_sharded_serving_detector_matches_fused_streaming_loop(devices8,
+                                                               rng):
+    """ShardedServingDetector (the multi-chip STREAMING driver: host state
+    for tracked ages, needy-first eviction, the exploration rotation, and
+    tracked-pose seeds around serving_step_sharded) evolves each 'data'
+    stream exactly like the single-device FusedDetector streaming loop:
+    4 frames of the same queries through both must agree bitwise on every
+    frame — i.e. the driver's state plumbing (keys, tracked, explore,
+    seeds, age/pose updates, last-coarse-sel) is the same state machine."""
+    from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
+                                            AGE_NEVER)
+    from tod_tpu.models.fused import (FusedDetectorConfig, _jit_age,
+                                      _jit_seeds, _jit_tracked,
+                                      _jit_tracked_needy, _jit_update_pose,
+                                      _stage_coarse_select,
+                                      _stage_geometry_gathered)
+    from tod_tpu.ops.pallas.segmented import (object_top1,
+                                              object_top1_gathered_xla,
+                                              pack_segmented,
+                                              subsample_models)
+    from tod_tpu.parallel import ShardedServingDetector, make_mesh
+    import functools
+    import jax as _jax
+
+    mesh = make_mesh(n_data=2, n_db=4)
+    models = []
+    for i in range(8):
+        n = 120 + 17 * i
+        desc = rng.integers(0, 256, (n, 32), np.uint8)
+        pts = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+        models.append(TodModel(f"o{i}", desc, pts))
+    q_n = 256
+    qp = np.full((2, q_n, 3), np.nan, np.float32)
+    xy = np.zeros((2, q_n, 2), np.float32)
+    dsc = rng.integers(0, 256, (2, q_n, 32), np.uint8)
+    ok = np.zeros((2, q_n), bool)
+    for f in range(2):
+        cursor = 0
+        for i in (0, 3, 5):
+            m = models[i]
+            take = 50
+            sel_rows = rng.choice(m.n_points, take, replace=False)
+            Rg = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(Rg) < 0:
+                Rg[:, 0] *= -1
+            Tg = np.array([0.1 * i - 0.3, 0.05 * f, 0.8], np.float32)
+            qp[f, cursor:cursor + take] = m.points[sel_rows] @ Rg.T + Tg
+            xy[f, cursor:cursor + take] = rng.uniform(30, 600, (take, 2))
+            dsc[f, cursor:cursor + take] = m.descriptors[sel_rows]
+            ok[f, cursor:cursor + take] = True
+            cursor += take
+    cfg = FusedDetectorConfig(
+        pipeline="segmented", radius=60.0, q_cap=q_n,
+        coarse_stride=3, fine_width=12, track_width=2, explore_width=2,
+        track_ttl=2,
+        activation=ActivationConfig(m_cap=64, n_hypotheses=64,
+                                    object_batch=2, prescreen=4),
+        guess=GuessConfig(
+            ransac=RansacConfig(n_hypotheses=128, min_inliers=8,
+                                max_instances=2),
+            max_matches_per_object=64, max_active_objects=4,
+            object_batch=2))
+
+    with mesh:
+        drv = ShardedServingDetector(mesh, models, cfg, seed=0)
+        dets_s = []
+        for _ in range(4):
+            dets_s.append(drv.step(jnp.asarray(xy), jnp.asarray(qp),
+                                   jnp.asarray(ok), jnp.asarray(dsc)))
+
+    # single-device reference: the FusedDetector streaming loop (its own
+    # jitted state helpers + stage functions) per stream, shard-major order
+    by_id = {m.object_id: m for m in models}
+    ordered = [by_id[i] for i in drv.object_ids]
+    db1 = pack_segmented(ordered, db_chunk=4096)
+    cdb1 = pack_segmented(subsample_models(ordered, cfg.coarse_stride),
+                          db_chunk=4096)
+    c1 = _jax.jit(functools.partial(_stage_coarse_select, cfg=cfg))
+    c3 = _jax.jit(functools.partial(_stage_geometry_gathered, cfg=cfg))
+    n_coarse = cfg.fine_width - cfg.track_width - cfg.explore_width
+    n_obj = len(ordered)
+    for b in range(2):
+        key = _jax.random.PRNGKey(b)
+        age = jnp.full(n_obj, AGE_NEVER, jnp.int32)
+        last_r = jnp.zeros((n_obj, 3, 3), jnp.float32)
+        last_t = jnp.zeros((n_obj, 3), jnp.float32)
+        last_sel = None
+        epos = 0
+        for t in range(4):
+            key, sub = _jax.random.split(key)
+            tracked = (_jit_tracked_needy(age, last_sel, cfg.track_width,
+                                          cfg.track_ttl)
+                       if last_sel is not None else
+                       _jit_tracked(age, cfg.track_width, cfg.track_ttl))
+            e_ids = jnp.asarray(
+                (epos + np.arange(cfg.explore_width)) % n_obj, jnp.int32)
+            epos = (epos + cfg.explore_width) % n_obj
+            seeds = _jit_seeds(age, last_r, last_t, cfg.track_ttl)
+            sel, force, force_act = c1(jnp.asarray(dsc[b]),
+                                       jnp.asarray(ok[b]), cdb1, tracked,
+                                       e_ids)
+            last_sel = sel[:n_coarse]
+            df, rf = object_top1_gathered_xla(jnp.asarray(dsc[b]), db1, sel,
+                                              db_chunk=4096)
+            det_1 = c3(sub, jnp.asarray(xy[b]), jnp.asarray(qp[b]),
+                       jnp.asarray(ok[b]), df, rf, sel, db1.points,
+                       db1.obj_start, db1.spans, force, force_act, seeds)
+            age = _jit_age(age, det_1)
+            last_r, last_t = _jit_update_pose(last_r, last_t, det_1)
+            det_s = dets_s[t]
+            np.testing.assert_array_equal(np.asarray(det_s.accepted[b]),
+                                          np.asarray(det_1.accepted))
+            np.testing.assert_array_equal(np.asarray(det_s.n_inliers[b]),
+                                          np.asarray(det_1.n_inliers))
+            acc = np.asarray(det_1.accepted)
+            np.testing.assert_allclose(np.asarray(det_s.T[b])[acc],
+                                       np.asarray(det_1.T)[acc], atol=1e-6)
+    assert any(np.asarray(d.accepted).any() for d in dets_s)

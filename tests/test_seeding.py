@@ -127,3 +127,49 @@ def test_seed_beats_continuation_budget_split(rng):
     assert acc[0], "seeded round 1 must accept the seeded instance"
     best = np.asarray(det.T)[0]
     np.testing.assert_allclose(best, t_o, atol=1e-3)
+
+
+def test_uncertified_seed_competes_at_the_floor(rng):
+    """Weak-texture regime (tools/diag_seed_probe.py): the true pose's
+    strict-sigma support has NO clique-minimal-size clique, so every round
+    is won by sub-minimal uncertified draws that refinement then grows.
+    The seed must compete at the same floor — min(n, minimal) — instead of
+    being killed to 0 for having more inliers than the certificate can
+    certify. Construction: 10 correct matches in 5 tight pixel pairs
+    (< 20 px separation breaks sample adjacency within a pair, so the max
+    sample clique over the true support is 5 < minimal+1 = 8)."""
+    n_correct, n_junk_clusters, junk_size = 10, 8, 4
+    m = n_correct + n_junk_clusters * junk_size
+    t = rng.uniform(-0.08, 0.08, (m, 3)).astype(np.float32)
+    q = np.empty((m, 3), np.float32)
+    q[:n_correct], (r_o, t_o) = _rigid_cluster(rng, t[:n_correct])
+    for c in range(n_junk_clusters):
+        lo = n_correct + c * junk_size
+        q[lo:lo + junk_size], _ = _rigid_cluster(rng, t[lo:lo + junk_size])
+    gx, gy = np.meshgrid(np.arange(9), np.arange(8))
+    grid = np.stack([40 + 70 * gx.ravel(), 30 + 55 * gy.ravel()], -1)
+    xy = grid[rng.permutation(len(grid))[:m]].astype(np.float32)
+    # squeeze the correct matches into 5 tight pairs (10 px apart)
+    for p in range(5):
+        xy[2 * p + 1] = xy[2 * p] + [10.0, 0.0]
+    matches = ObjectMatches(
+        query_pts=jnp.asarray(q), train_pts=jnp.asarray(t),
+        query_idx=jnp.arange(m, dtype=jnp.int32),
+        query_xy=jnp.asarray(xy), valid=jnp.ones(m, bool))
+    span = jnp.float32(np.linalg.norm(t.max(0) - t.min(0)))
+    graphs = fill_adjacency(matches, span, 0.01)
+
+    # certificate sanity: the true support really has no 8-clique
+    from tod_tpu.geometry.ransac import _greedy_clique_size
+    cand = jnp.zeros((1, m), bool).at[0, :n_correct].set(True)
+    assert int(_greedy_clique_size(graphs.sample, cand, 8)[0]) < 8
+
+    cfg = RansacConfig(n_hypotheses=1, min_inliers=8, sensor_error=0.01,
+                       max_instances=1, weighted_sampling=False)
+    seed = SeedPose(R=jnp.asarray(r_o), T=jnp.asarray(t_o),
+                    ok=jnp.asarray(True))
+    seeded = ransac_round(jax.random.PRNGKey(0), matches, graphs,
+                          graphs.valid, cfg, seed)
+    assert bool(seeded.found)
+    assert int(seeded.n_unique) >= cfg.min_inliers
+    np.testing.assert_allclose(np.asarray(seeded.T), t_o, atol=1e-3)

@@ -257,13 +257,26 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
         # the stored output pose is its inverse
         r_s, t_s = invert_pose(seed.R, seed.T)
         res_s = ((apply_rt(r_s, t_s, q) - t) ** 2).sum(-1)     # (M,)
-        in_s = valid & (res_s < sigma * sigma) & seed.ok
-        fit = RigidFit(R=jnp.concatenate([fit.R, r_s[None]]),
-                       T=jnp.concatenate([fit.T, t_s[None]]),
-                       ok=jnp.concatenate([fit.ok, seed.ok[None]]))
-        inlier = jnp.concatenate([inlier, in_s[None]])
+        in_0 = valid & (res_s < sigma * sigma) & seed.ok
+        # polish: one strict-sigma refit before scoring. The stored pose is
+        # a compromise over its frame's (possibly 4-sigma-grown) inlier set;
+        # refitting on its own strict inliers re-centers it in the basin
+        # (measured 0.26 cm from a 4-sigma-grown state pose,
+        # tools/diag_seed_probe.py).
+        fit_p = kabsch(q, t, in_0.astype(jnp.float32))
+        r_p = jnp.where(fit_p.ok, fit_p.R, r_s)
+        t_p = jnp.where(fit_p.ok, fit_p.T, t_s)
+        res_p = ((apply_rt(r_p, t_p, q) - t) ** 2).sum(-1)
+        in_s = valid & (res_p < sigma * sigma) & seed.ok
+        # the seed goes FIRST in the pool: argmax resolves score ties to
+        # the lowest index, so an equal-scoring random draw never steals
+        # the round from the temporally-consistent hypothesis
+        fit = RigidFit(R=jnp.concatenate([r_p[None], fit.R]),
+                       T=jnp.concatenate([t_p[None], fit.T]),
+                       ok=jnp.concatenate([seed.ok[None], fit.ok]))
+        inlier = jnp.concatenate([in_s[None], inlier])
         n_in = jnp.concatenate(
-            [n_in, in_s.sum()[None].astype(jnp.int32)])
+            [in_s.sum()[None].astype(jnp.int32), n_in])
         b = b + 1
 
     # --- clique certification on the top hypotheses --------------------------
@@ -281,6 +294,26 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
     # un-checked hypotheses can win at most min(n, minimal)
     base_score = jnp.minimum(n_in, minimal)
     score = base_score.at[top_idx].set(checked_score)
+
+    if seed is not None:
+        # Seed scoring floor: an UNCERTIFIED seed keeps min(n, minimal)
+        # instead of 0. On weak textures the true pose's strict-sigma
+        # support can have NO minimal-size clique at all (obj006: exact
+        # max clique 6 over 10 true inliers, tools/diag_seed_probe.py) —
+        # there, rounds are won by sub-minimal uncertified draws that
+        # refinement then grows, a lottery the seed would always lose by
+        # scoring 0. The floor lets it compete exactly like those draws;
+        # ACCEPTANCE is unchanged (>= min_inliers unique keypoints after
+        # refinement), and sampled-hypothesis scoring is untouched, so
+        # stateless (unseeded) serving is bit-identical.
+        seed_filtered = in_s & (samp_deg >= minimal)
+        seed_csize = _greedy_clique_size(graphs.sample,
+                                         seed_filtered[None],
+                                         minimal + 1)[0]
+        n_s = n_in[0]
+        score = score.at[0].set(
+            jnp.where((n_s <= minimal) | (seed_csize > minimal), n_s,
+                      jnp.minimum(n_s, minimal)))
 
     best = jnp.argmax(score)
     best_score = score[best]
@@ -374,15 +407,16 @@ def detect_object_instances(key, matches: ObjectMatches,
     accepted pose still holds the reference's acceptance contract
     (>= min_inliers unique keypoints + clique certificate).
 
-    ``seed`` (optional :class:`SeedPose`): tracked-pose hypothesis for the
-    FIRST round only — the instance the seed describes is found (or not)
-    there, and continuation rounds search for OTHER instances among the
-    keypoints the first round left valid."""
+    ``seed`` (optional :class:`SeedPose`): tracked-pose hypothesis entering
+    EVERY round — if a junk draw steals round 1, the winner's keypoints
+    are invalidated and the seed re-enters round 2 against a cleaner
+    store; once the seed's own instance is found, its keypoints are
+    invalidated too and later seed entries score ~0 (no duplicates)."""
 
-    def make_step(round_cfg, round_seed=None):
+    def make_step(round_cfg):
         def step(valid, key_i):
             round_ = ransac_round(key_i, matches, graphs, valid, round_cfg,
-                                  round_seed)
+                                  seed)
             accept = round_.found & (round_.n_unique >= cfg.min_inliers)
             valid_next = jnp.where(
                 accept,
@@ -396,22 +430,14 @@ def detect_object_instances(key, matches: ObjectMatches,
 
     keys = jax.random.split(key, cfg.max_instances)
     cont = cfg.continuation_hypotheses
-    split_first = (cont and cont < cfg.n_hypotheses
-                   and cfg.max_instances > 1) or \
-        (seed is not None and cfg.max_instances > 1)
-    if split_first:
-        # full budget (+ the seed hypothesis) for the first round; lean
-        # budget for continuations when configured
-        valid1, out1 = make_step(cfg, seed)(graphs.valid, keys[0])
-        cont_cfg = (dataclasses.replace(cfg, n_hypotheses=cont)
-                    if cont and cont < cfg.n_hypotheses else cfg)
+    if cont and cont < cfg.n_hypotheses and cfg.max_instances > 1:
+        # full budget for the first round, lean budget for continuations
+        valid1, out1 = make_step(cfg)(graphs.valid, keys[0])
+        cont_cfg = dataclasses.replace(cfg, n_hypotheses=cont)
         _, out_rest = jax.lax.scan(make_step(cont_cfg), valid1, keys[1:])
         rs, ts, counts, accepted = (
             jnp.concatenate([a[None], b])
             for a, b in zip(out1, out_rest))
-    elif cfg.max_instances == 1:
-        _, out1 = make_step(cfg, seed)(graphs.valid, keys[0])
-        rs, ts, counts, accepted = (a[None] for a in out1)
     else:
         _, (rs, ts, counts, accepted) = jax.lax.scan(
             make_step(cfg), graphs.valid, keys)

@@ -8,5 +8,7 @@ from tod_tpu.parallel.segmented import (pack_segmented_sharded,
 
 __all__ = ["make_mesh", "sharded_hamming_topk", "ring_hamming_topk",
            "detect_batch_sharded", "train_views_sharded",
-           "pack_segmented_sharded", "sharded_object_top1"]
+           "pack_segmented_sharded", "sharded_object_top1",
+           "ShardedServingDetector"]
 from tod_tpu.parallel.pipeline import PipelinedDetector  # noqa: E402,F401
+from tod_tpu.parallel.serving import ShardedServingDetector  # noqa: E402,F401

@@ -212,6 +212,14 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
     exactly as the single-device streaming loop does (``tracked_from_age``
     on its age state; the deterministic exploration rotation), and the
     slab construction is bit-identical to ``_stage_coarse_select``.
+    With ``track_width > 0`` the fn takes three MORE trailing operands —
+    ``seed_R (B, O_total, 3, 3)``, ``seed_T (B, O_total, 3)``,
+    ``seed_ok (B, O_total)``: the driver's last-accepted-pose state
+    (tracked-pose seeding, geometry/ransac.py SeedPose) — and returns
+    ``(detections, last_coarse_sel (B, fine_width - reserved))`` so the
+    driver can feed needy-first tracked eviction next frame.
+    :class:`tod_tpu.parallel.serving.ShardedServingDetector` wraps all of
+    this host state.
     """
     from tod_tpu.geometry.adjacency import fill_adjacency
     from tod_tpu.geometry.detection import (build_object_stores,
@@ -468,6 +476,12 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
                 # slab slots -> full object axis (same second scatter the
                 # single-device gathered path does)
                 out = scatter_detections(out, sel, n_objects)
+            if n_track:
+                # the coarse-slot PREFIX of the slab: the driver's
+                # needy-first tracked eviction needs last frame's coarse
+                # selection (same prefix FusedDetector keeps)
+                n_coarse = (cfg.fine_width - n_track - n_explore)
+                return out, jax.lax.dynamic_slice_in_dim(sel, 0, n_coarse)
             return out
 
         det = jax.vmap(per_frame,
@@ -492,10 +506,11 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
         + ((P("data"),) if n_track else ()) \
         + ((P("data"),) if n_explore else ()) \
         + ((P("data"), P("data"), P("data")) if n_track else ())
+    out_tree = (ObjectDetections(0, 0, 0, 0), 0) if n_track \
+        else ObjectDetections(0, 0, 0, 0)
     fn = shard_map(
         local, mesh=mesh, in_specs=in_specs,
-        out_specs=jax.tree.map(lambda _: P("data"),
-                               ObjectDetections(0, 0, 0, 0)))
+        out_specs=jax.tree.map(lambda _: P("data"), out_tree))
     return jax.jit(fn)
 
 

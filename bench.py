@@ -142,10 +142,20 @@ def build_db(n_objects: int, seed: int = 0):
     dedup = int(os.environ.get("BENCH_DEDUP", "8"))
     subpixel = os.environ.get("BENCH_SUBPIXEL", "") == "1"
     feature = os.environ.get("BENCH_FEATURE", "ORB")
+    # BENCH_TRAIN_DIST="0.8,1.6": extra capture distances beyond the first
+    # add one 12-view ring each (multi-scale training). ORB's pyramid only
+    # covers ~scale^levels (~1.4x at the 3-level operating point) of
+    # appearance shrink, so single-distance training bounds far-range
+    # detection (STRESS_POSE.json: recall falls past ~1.5x the 0.8 m
+    # capture distance); far rings put far-scale descriptors in the model.
+    train_dists = [float(v) for v in
+                   os.environ.get("BENCH_TRAIN_DIST", "0.8").split(",")]
     cache = None
     if cache_dir:
         sp = "_sp" if subpixel else ""
         ft = "" if feature == "ORB" else f"_{feature.lower()}"
+        if train_dists != [0.8]:
+            ft += "_td" + "-".join(f"{d:g}" for d in train_dists)
         cache = os.path.join(cache_dir,
                              f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}"
                              f"{sp}{ft}.npz")
@@ -215,12 +225,21 @@ def build_db(n_objects: int, seed: int = 0):
         # 12 views x 3 elevation rings = 36 views, the reference's turntable
         # capture scale (SURVEY.md section 3.1 "~36 views"); the near-frontal
         # ring matters — detection-time poses are mostly frontal
+        all_obs = list(turntable_observations(
+            obj, n_views=12, elevations_deg=(85.0, 60.0, 35.0),
+            distance=train_dists[0]))
+        for extra_d in train_dists[1:]:
+            ring = turntable_observations(obj, n_views=12,
+                                          elevations_deg=(60.0,),
+                                          distance=extra_d)
+            for o in ring:
+                o["frame_number"] += len(all_obs)
+            all_obs += ring
         obs_ids = [
             insert_observation(db, obj.object_id, obs["frame_number"],
                                obs["image"], obs["depth"], obs["mask"],
                                obs["K"], obs["R"], obs["T"])
-            for obs in turntable_observations(
-                obj, n_views=12, elevations_deg=(85.0, 60.0, 35.0))]
+            for obs in all_obs]
         trainer = TodTrainer(
             "trainer", object_id=obj.object_id,
             json_db=json.dumps({"type": "mem", "collection": "bench"}),
@@ -703,15 +722,19 @@ def main():
         lat.append(time.time() - t0)
     lat_ms = np.asarray(lat) * 1000.0
     lat_p50, lat_p95 = np.percentile(lat_ms, [50, 95])
-    # measure the pure sync overhead (dispatch-nothing + tiny download):
+    # measure the pure sync overhead (trivial dispatch + tiny download):
     # the floor any hard-synced number pays through the tunnel; an
     # on-device caller pays ~0, so latency - sync_overhead estimates the
-    # interactive rate production hardware would see
+    # interactive rate production hardware would see. The downloaded array
+    # must be FRESH each rep — jax caches a fetched array host-side
+    # (_npy_value), so re-fetching the same array measures a dict lookup,
+    # not the tunnel round trip.
     sync = []
-    tiny = out.accepted
-    for _ in range(10):
+    tiny_fn = jax.jit(lambda x, i: x.astype(jnp.int32).sum() + i)
+    np.asarray(jax.device_get(tiny_fn(out.accepted, 0)))  # warm compile
+    for i in range(10):
         t0 = time.time()
-        np.asarray(jax.device_get(tiny))
+        np.asarray(jax.device_get(tiny_fn(out.accepted, i)))
         sync.append(time.time() - t0)
     sync_ms = float(np.percentile(np.asarray(sync) * 1000.0, 50))
     log(f"per-frame latency: p50 {lat_p50:.1f} ms / p95 {lat_p95:.1f} ms "

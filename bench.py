@@ -104,6 +104,26 @@ def wait_for_devices(window: Optional[float] = None, delay: float = 20.0):
         time.sleep(delay)
 
 
+def make_obj(i: int):
+    """The bench catalog's object ``i`` (shared with tools/bench_oracle.py
+    so the oracle's 'same workload' claim holds by construction: both
+    engines build objects from THIS function, keyed only on the index and
+    BENCH_SHAPES)."""
+    from tod_tpu.utils.synthetic import (SyntheticBox, SyntheticCylinder,
+                                         SyntheticObject)
+
+    # BENCH_SHAPES=mixed (default: plane/box/cylinder cycling — the
+    # reference's actual 3D domain) or plane (rounds-1/2-comparable)
+    shapes = os.environ.get("BENCH_SHAPES", "mixed")
+    oid = f"obj{i:03d}"
+    if shapes != "mixed" or i % 3 == 0:
+        return SyntheticObject.make(oid, seed=100 + i)
+    if i % 3 == 1:
+        return SyntheticBox.make(oid, seed=100 + i, size_m=(0.2, 0.15, 0.1))
+    return SyntheticCylinder.make(oid, seed=100 + i, radius_m=0.08,
+                                  height_m=0.2)
+
+
 def build_db(n_objects: int, seed: int = 0):
     """Train ``n_objects`` DISTINCT textured objects through the real
     training pipeline (honest DB: real descriptor statistics in both the
@@ -117,23 +137,9 @@ def build_db(n_objects: int, seed: int = 0):
     """
     from tod_tpu.db import InMemoryDb, insert_observation, load_models_for_objects
     from tod_tpu.models import TodTrainer
-    from tod_tpu.utils.synthetic import (SyntheticBox, SyntheticCylinder,
-                                         SyntheticObject,
-                                         turntable_observations)
+    from tod_tpu.utils.synthetic import turntable_observations
 
-    # BENCH_SHAPES=mixed (default: plane/box/cylinder cycling — the
-    # reference's actual 3D domain) or plane (rounds-1/2-comparable)
     shapes = os.environ.get("BENCH_SHAPES", "mixed")
-
-    def make_obj(i: int):
-        oid = f"obj{i:03d}"
-        if shapes != "mixed" or i % 3 == 0:
-            return SyntheticObject.make(oid, seed=100 + i)
-        if i % 3 == 1:
-            return SyntheticBox.make(oid, seed=100 + i,
-                                     size_m=(0.2, 0.15, 0.1))
-        return SyntheticCylinder.make(oid, seed=100 + i, radius_m=0.08,
-                                      height_m=0.2)
 
     cache_dir = os.environ.get(
         "BENCH_DB_CACHE",
@@ -150,12 +156,22 @@ def build_db(n_objects: int, seed: int = 0):
     # capture distance); far rings put far-scale descriptors in the model.
     train_dists = [float(v) for v in
                    os.environ.get("BENCH_TRAIN_DIST", "0.8").split(",")]
+    # BENCH_TRAIN_ELEV="85,60,35,15": turntable elevation rings (deg above
+    # the horizon). Viewing tilt past 90 - min(elev) is outside the
+    # captured cone (STRESS_POSE.json: recall falls at 75 deg tilt with
+    # the default 35-85 deg rings); a lower ring covers oblique viewing
+    # the same way the far distance ring covers range.
+    train_elevs = tuple(
+        float(v) for v in
+        os.environ.get("BENCH_TRAIN_ELEV", "85,60,35").split(","))
     cache = None
     if cache_dir:
         sp = "_sp" if subpixel else ""
         ft = "" if feature == "ORB" else f"_{feature.lower()}"
         if train_dists != [0.8]:
             ft += "_td" + "-".join(f"{d:g}" for d in train_dists)
+        if train_elevs != (85.0, 60.0, 35.0):
+            ft += "_te" + "-".join(f"{e:g}" for e in train_elevs)
         cache = os.path.join(cache_dir,
                              f"db_n{n_objects}_s{seed}_d{dedup}_{shapes}"
                              f"{sp}{ft}.npz")
@@ -226,7 +242,7 @@ def build_db(n_objects: int, seed: int = 0):
         # capture scale (SURVEY.md section 3.1 "~36 views"); the near-frontal
         # ring matters — detection-time poses are mostly frontal
         all_obs = list(turntable_observations(
-            obj, n_views=12, elevations_deg=(85.0, 60.0, 35.0),
+            obj, n_views=12, elevations_deg=train_elevs,
             distance=train_dists[0]))
         for extra_d in train_dists[1:]:
             ring = turntable_observations(obj, n_views=12,

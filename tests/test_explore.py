@@ -58,6 +58,22 @@ def test_explore_ids_pad_when_catalog_smaller():
     assert ids.tolist() == [0, 1, 2, -1, -1]
 
 
+def test_explore_ids_skip_capacity_padding_slots():
+    """catalog_capacity padding slots (empty object ids) never match, so
+    the rotation must cycle REAL slots only — otherwise the documented
+    ceil(O/E) discovery bound silently becomes ceil(capacity/E) and forced
+    tier-1 entries are spent on zero-row objects."""
+    det = FusedDetector([], FusedDetectorConfig(
+        pipeline="segmented", coarse_stride=4, fine_width=8,
+        explore_width=2))
+    det.object_ids = ["a", "", "b", "", "", "c"]  # capacity-padded catalog
+    seen = []
+    for _ in range(3):
+        seen.extend(np.asarray(det._explore_ids()).tolist())
+    assert sorted(set(seen)) == [0, 2, 5], "padding slots must be skipped"
+    assert all(seen.count(i) == 2 for i in (0, 2, 5))
+
+
 DB_JSON = json.dumps({"type": "mem", "collection": "explore"})
 
 

@@ -533,9 +533,10 @@ def test_serving_step_sharded_coarse_fine_matches_single_device(
     assert np.asarray(det_s.accepted).any()
 
 
-@pytest.mark.parametrize("prescreen", [0, 4])
+@pytest.mark.parametrize("prescreen,fine_width", [(0, 12), (4, 12),
+                                                  (0, 16)])
 def test_serving_step_sharded_streaming_slots_matches_single_device(
-        devices8, rng, prescreen):
+        devices8, rng, prescreen, fine_width):
     """The multi-chip coarse->fine serving step with STREAMING SLOTS
     (track_width + explore_width reserved slab slots, per-frame id arrays
     supplied by the driver) equals the single-device _stage_coarse_select
@@ -544,7 +545,11 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
     coarse screen also selected, and -1 holes. With ``prescreen`` > 0 the
     reserved slots bypass the in-slab tier-1 prescreen and EXPAND the
     tier-1 set (n_pre = prescreen + reserved = 8 < slab 12) identically on
-    both paths (reserved_force_mask / n_forced)."""
+    both paths (reserved_force_mask / n_forced). fine_width=16 > catalog
+    (8) + reserved (4) covers the CLAMPED slab: coarse_select returns only
+    8 coarse slots, the step must slice the clamped coarse prefix (not
+    fine_width - reserved = 12 of a 12-long sel), and the single-device
+    reference constructs the identical slab."""
     from tod_tpu.geometry.detection import (ActivationConfig, GuessConfig,
                                             coarse_select,
                                             detect_frame_gathered,
@@ -590,7 +595,8 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
                 gt_r5, gt_t5 = Rg.astype(np.float32), Tg
     cfg = FusedDetectorConfig(
         pipeline="segmented", radius=60.0, q_cap=q_n,
-        coarse_stride=3, fine_width=12, track_width=1, explore_width=3,
+        coarse_stride=3, fine_width=fine_width, track_width=1,
+        explore_width=3,
         activation=ActivationConfig(m_cap=64, n_hypotheses=64,
                                     object_batch=2, prescreen=prescreen),
         guess=GuessConfig(
@@ -628,8 +634,9 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
             jnp.asarray(seed_r), jnp.asarray(seed_t), jnp.asarray(seed_ok))
     # with track_width > 0 the step also returns the coarse-slot prefix
     # (the driver's needy-first eviction input)
-    assert np.asarray(last_sel).shape == (
-        2, cfg.fine_width - cfg.track_width - cfg.explore_width)
+    n_coarse = min(cfg.fine_width - cfg.track_width - cfg.explore_width,
+                   len(ids))
+    assert np.asarray(last_sel).shape == (2, n_coarse)
 
     by_id = {m.object_id: m for m in models}
     ordered = [by_id[i] for i in ids]
@@ -659,8 +666,7 @@ def test_serving_step_sharded_streaming_slots_matches_single_device(
             cfg.guess, cfg.activation, cfg.radius, force1,
             cfg.track_width + cfg.explore_width, force_act1, seeds1)
         np.testing.assert_array_equal(
-            np.asarray(last_sel[f]),
-            np.asarray(sel1)[:cfg.fine_width - reserved])
+            np.asarray(last_sel[f]), np.asarray(sel1)[:n_coarse])
         np.testing.assert_array_equal(np.asarray(det_s.accepted[f]),
                                       np.asarray(det_1.accepted))
         acc = np.asarray(det_1.accepted)

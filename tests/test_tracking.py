@@ -211,3 +211,27 @@ def test_control_without_tracking_drops_evicted_object(trained_pair):
     assert "weak_plane" not in found2, (
         "control slab unexpectedly retained the plane — the box no longer "
         "outranks it; rebalance the fixture poses")
+
+
+def test_tracking_slab_wider_than_catalog_clamps_coarse_prefix(trained_pair):
+    """fine_width - reserved (7) exceeds the 2-object catalog:
+    coarse_select returns only 2 coarse slots, so the streaming loop must
+    keep the CLAMPED coarse prefix as last frame's selection (slicing the
+    un-clamped width would leak the reserved slot ids into
+    _last_coarse_sel, marking latched objects not-needy). Detection
+    itself must be unaffected."""
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame1, frame2, pose_p = _frames(plane, box)
+
+    det = FusedDetector(models, _cfg(fine_width=8, track_width=1))
+    r1 = det.detect(frame1[0], frame1[1], DEFAULT_K)
+    assert any(r.object_id == "weak_plane" for r in r1)
+    assert det._last_coarse_sel.shape == (2,), (
+        "coarse prefix must clamp to the catalog size")
+    r2 = det.detect(frame2[0], frame2[1], DEFAULT_K)
+    found2 = {r.object_id for r in r2}
+    assert found2 == {"strong_box", "weak_plane"}, found2
+    dts = [np.linalg.norm(r.T - pose_p[1]) for r in r2
+           if r.object_id == "weak_plane"]
+    assert min(dts) < 0.02, dts

@@ -497,6 +497,44 @@ def update_age(age: jax.Array, det: ObjectDetections) -> jax.Array:
     return jnp.where(acc, 0, jnp.minimum(age, AGE_NEVER) + 1)
 
 
+def tracked_needy(age: jax.Array, last_coarse_sel: jax.Array, width: int,
+                  ttl: int) -> jax.Array:
+    """:func:`tracked_from_age` with neediness from the PREVIOUS frame's
+    coarse selection: objects the coarse screen already ranks in don't need
+    a reserved slot (the merge holes out the duplicate), so under capacity
+    pressure the slots go to the weak finds the latch exists for. Shared by
+    the single-device and sharded streaming drivers (their per-stream
+    results must stay bitwise-identical)."""
+    safe = jnp.where(last_coarse_sel >= 0, last_coarse_sel, age.shape[0])
+    needy = jnp.ones(age.shape[0], bool).at[safe].set(False, mode="drop")
+    return tracked_from_age(age, width, ttl, needy)
+
+
+def seeds_from_state(age: jax.Array, last_r: jax.Array, last_t: jax.Array,
+                     ttl: int) -> SeedPose:
+    """Tracked-pose seeds on the full object axis: an object detected
+    within the last ``ttl`` frames re-enters tier-2 with its last ACCEPTED
+    pose as one extra hypothesis (SeedPose semantics, geometry/ransac.py).
+    Not limited to the tracked-slot width — any slab object with a live
+    latch benefits. Shared by both streaming drivers."""
+    return SeedPose(R=last_r, T=last_t, ok=age <= ttl)
+
+
+def fold_best_pose(last_r: jax.Array, last_t: jax.Array,
+                   det: ObjectDetections
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Fold one frame's detections into the last-accepted-pose state: per
+    object, the accepted instance with the most inliers (unchanged where
+    nothing was accepted). Shared by both streaming drivers (tracked-pose
+    seeding state)."""
+    score = jnp.where(det.accepted, det.n_inliers, -1)
+    best = jnp.argmax(score, axis=1)
+    o = jnp.arange(last_r.shape[0])
+    acc = det.accepted.any(axis=1)
+    return (jnp.where(acc[:, None, None], det.R[o, best], last_r),
+            jnp.where(acc[:, None], det.T[o, best], last_t))
+
+
 def detect_frame_gathered(
         key: jax.Array, dist: jax.Array, rows: jax.Array, sel: jax.Array,
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,

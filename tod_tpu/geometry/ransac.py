@@ -238,10 +238,11 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
 
     Returns the best pose in the reference's output convention
     (object/model frame -> camera frame, after inversion). ``seed``
-    (optional) appends one tracked-pose hypothesis to the pool — see
-    :class:`SeedPose`; no extra RNG is consumed, and ties against sampled
-    hypotheses resolve to the sampled one (argmax picks the lowest index),
-    so a disabled seed (``ok=False``) leaves results identical."""
+    (optional) prepends one tracked-pose hypothesis to the pool — see
+    :class:`SeedPose`; no extra RNG is consumed, and because the seed sits
+    at index 0, score ties against sampled hypotheses resolve to the SEED
+    (argmax picks the lowest index — the temporally-consistent choice).
+    A disabled seed (``ok=False``) scores 0 and leaves results identical."""
     m_cap = valid.shape[0]
     q, t = matches.query_pts, matches.train_pts
     sigma = cfg.sensor_error

@@ -26,8 +26,10 @@ from tod_tpu.geometry.detection import (AGE_NEVER, ActivationConfig,
                                         detect_frame_from_matches,
                                         detect_frame_gathered,
                                         detect_frame_segmented,
-                                        merge_tracked, reserved_force_mask,
-                                        tracked_from_age, update_age)
+                                        fold_best_pose, merge_tracked,
+                                        reserved_force_mask,
+                                        seeds_from_state, tracked_from_age,
+                                        tracked_needy, update_age)
 from tod_tpu.geometry.ransac import (ObjectDetections, RansacConfig,
                                      SeedPose)
 from tod_tpu.ops.depth import depth_to_3d_sparse, to_metric_depth
@@ -476,38 +478,18 @@ _jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
 _jit_age = jax.jit(update_age)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _jit_seeds(age, last_r, last_t, ttl):
-    """Tracked-pose seeds on the full object axis: an object detected
-    within the last ``ttl`` frames re-enters tier-2 with its last ACCEPTED
-    pose as one extra hypothesis (SeedPose semantics, geometry/ransac.py).
-    Not limited to the tracked-slot width — any slab object with a live
-    latch benefits."""
-    return SeedPose(R=last_r, T=last_t, ok=age <= ttl)
+_jit_seeds = functools.partial(jax.jit, static_argnums=(3,))(
+    seeds_from_state)
 
 
-@jax.jit
-def _jit_update_pose(last_r, last_t, det):
-    """Fold this frame's detections into the last-accepted-pose state:
-    per object, the accepted instance with the most inliers (unchanged
-    where nothing was accepted)."""
-    score = jnp.where(det.accepted, det.n_inliers, -1)
-    best = jnp.argmax(score, axis=1)
-    o = jnp.arange(last_r.shape[0])
-    acc = det.accepted.any(axis=1)
-    return (jnp.where(acc[:, None, None], det.R[o, best], last_r),
-            jnp.where(acc[:, None], det.T[o, best], last_t))
+# shared streaming-state bodies (geometry/detection.py): both drivers'
+# per-stream results must stay bitwise-identical, so the fold/selection
+# logic lives in ONE place and is only jitted/vmapped here
+_jit_update_pose = jax.jit(fold_best_pose)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _jit_tracked_needy(age, last_coarse_sel, width, ttl):
-    """tracked_from_age with neediness from the PREVIOUS frame's coarse
-    selection: objects the coarse screen already ranks in don't need a
-    reserved slot (the merge holes out the duplicate), so under capacity
-    pressure the slots go to the weak finds the latch exists for."""
-    safe = jnp.where(last_coarse_sel >= 0, last_coarse_sel, age.shape[0])
-    needy = jnp.ones(age.shape[0], bool).at[safe].set(False, mode="drop")
-    return tracked_from_age(age, width, ttl, needy)
+_jit_tracked_needy = functools.partial(jax.jit, static_argnums=(2, 3))(
+    tracked_needy)
 
 
 @functools.lru_cache(maxsize=4)
@@ -652,15 +634,20 @@ class FusedDetector:
     def _explore_ids(self) -> jax.Array:
         """Next ``explore_width`` catalog indices of the deterministic
         rotation (host-side cursor; -1-padded when the catalog is smaller
-        than the reservation). Each call advances one frame."""
-        n = len(self.object_ids)
+        than the reservation). Each call advances one frame. Rotates over
+        REAL slots only: ``catalog_capacity`` padding slots (empty object
+        ids) can never match, and a forced tier-1 entry spent on one would
+        both waste lean-RANSAC budget and stretch the documented ceil(O/E)
+        discovery bound toward ceil(capacity/E)."""
+        real = np.asarray([i for i, oid in enumerate(self.object_ids)
+                           if oid], np.int32)
+        n = len(real)
         e = self.config.explore_width
         if e >= n:
-            ids = np.concatenate([np.arange(n, dtype=np.int32),
-                                  np.full(e - n, -1, np.int32)])
+            ids = np.concatenate([real, np.full(e - n, -1, np.int32)])
         else:
-            ids = (self._explore_pos
-                   + np.arange(e, dtype=np.int32)) % np.int32(n)
+            pos = (self._explore_pos + np.arange(e)) % n
+            ids = real[pos]
             self._explore_pos = int((self._explore_pos + e) % n)
         return jnp.asarray(ids)
 
@@ -705,10 +692,17 @@ class FusedDetector:
                     sel, force, force_act = c1(dsc, ok, self.cdb)
                 if track:
                     # coarse-slot prefix only: an object held in the slab
-                    # by its RESERVED slot still needs one next frame
-                    n_coarse = self.config.fine_width \
-                        - self.config.track_width \
-                        - (self.config.explore_width if explore else 0)
+                    # by its RESERVED slot still needs one next frame. The
+                    # prefix is the CLAMPED coarse width (coarse_select
+                    # returns min(width, catalog) slots) — slicing by the
+                    # un-clamped fine_width - reserved would leak the
+                    # reserved slots into last_coarse_sel on catalogs
+                    # smaller than the slab, marking latched objects
+                    # not-needy.
+                    n_coarse = min(
+                        self.config.fine_width - self.config.track_width
+                        - (self.config.explore_width if explore else 0),
+                        len(self.object_ids))
                     self._last_coarse_sel = sel[:n_coarse]
                 seeds = (_jit_seeds(self._age, self._last_R, self._last_T,
                                     self.config.track_ttl)

@@ -479,8 +479,13 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
             if n_track:
                 # the coarse-slot PREFIX of the slab: the driver's
                 # needy-first tracked eviction needs last frame's coarse
-                # selection (same prefix FusedDetector keeps)
-                n_coarse = (cfg.fine_width - n_track - n_explore)
+                # selection (same prefix FusedDetector keeps). Use the
+                # CLAMPED slab size, not fine_width: with a catalog smaller
+                # than fine_width - reserved, coarse_select returned fewer
+                # slots and slicing fine_width's worth would be a trace-time
+                # error (the single-device driver's sel[:n_coarse] clamps
+                # implicitly via Python slicing).
+                n_coarse = axis_n - n_track - n_explore
                 return out, jax.lax.dynamic_slice_in_dim(sel, 0, n_coarse)
             return out
 

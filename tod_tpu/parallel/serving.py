@@ -28,8 +28,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from tod_tpu.db.models import TodModel
-from tod_tpu.geometry.detection import AGE_NEVER, tracked_from_age, update_age
-from tod_tpu.geometry.ransac import ObjectDetections, SeedPose
+from tod_tpu.geometry.detection import (AGE_NEVER, fold_best_pose,
+                                        seeds_from_state, tracked_from_age,
+                                        tracked_needy, update_age)
+from tod_tpu.geometry.ransac import ObjectDetections
 from tod_tpu.ops.pallas.segmented import DB_CHUNK, subsample_models
 from tod_tpu.parallel.segmented import (pack_segmented_l2_sharded,
                                         pack_segmented_sharded,
@@ -37,6 +39,10 @@ from tod_tpu.parallel.segmented import (pack_segmented_l2_sharded,
                                         stacked_max_chunks)
 
 
+# per-stream state updates are the SAME bodies the single-device driver
+# jits (geometry/detection.py) — only vmapped over the 'data' streams here,
+# so the two drivers cannot drift apart (their per-stream results are
+# parity-tested bitwise-identical)
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _tracked_rows(age, width, ttl):
     return jax.vmap(lambda a: tracked_from_age(a, width, ttl))(age)
@@ -44,12 +50,8 @@ def _tracked_rows(age, width, ttl):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _tracked_rows_needy(age, last_sel, width, ttl):
-    def one(a, s):
-        safe = jnp.where(s >= 0, s, a.shape[0])
-        needy = jnp.ones(a.shape[0], bool).at[safe].set(False, mode="drop")
-        return tracked_from_age(a, width, ttl, needy)
-
-    return jax.vmap(one)(age, last_sel)
+    return jax.vmap(lambda a, s: tracked_needy(a, s, width, ttl))(age,
+                                                                  last_sel)
 
 
 @jax.jit
@@ -57,17 +59,7 @@ def _age_rows(age, det):
     return jax.vmap(update_age)(age, det)
 
 
-@jax.jit
-def _pose_rows(last_r, last_t, det):
-    def one(r, t, d):
-        score = jnp.where(d.accepted, d.n_inliers, -1)
-        best = jnp.argmax(score, axis=1)
-        o = jnp.arange(r.shape[0])
-        acc = d.accepted.any(axis=1)
-        return (jnp.where(acc[:, None, None], d.R[o, best], r),
-                jnp.where(acc[:, None], d.T[o, best], t))
-
-    return jax.vmap(one)(last_r, last_t, det)
+_pose_rows = jax.jit(jax.vmap(fold_best_pose))
 
 
 class ShardedServingDetector:
@@ -174,8 +166,8 @@ class ShardedServingDetector:
         if explore:
             args += (self._explore_ids(),)
         if track:
-            seeds = SeedPose(R=self._last_r, T=self._last_t,
-                             ok=self._age <= cfg.track_ttl)
+            seeds = seeds_from_state(self._age, self._last_r, self._last_t,
+                                     cfg.track_ttl)
             args += (seeds.R, seeds.T, seeds.ok)
 
         out = self._fn(*args)

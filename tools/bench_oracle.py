@@ -82,22 +82,9 @@ def main():
         "BENCH_DB_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                      ".bench_cache"))
-    # same objects + scenes as bench.py (build_db only builds the object
-    # list cheaply when the model cache exists; the models are not used)
-    from tod_tpu.utils.synthetic import (SyntheticBox, SyntheticCylinder,
-                                         SyntheticObject)
-
-    def make_obj(i):
-        oid = f"obj{i:03d}"
-        if shapes != "mixed" or i % 3 == 0:
-            return SyntheticObject.make(oid, seed=100 + i)
-        if i % 3 == 1:
-            return SyntheticBox.make(oid, seed=100 + i,
-                                     size_m=(0.2, 0.15, 0.1))
-        return SyntheticCylinder.make(oid, seed=100 + i, radius_m=0.08,
-                                      height_m=0.2)
-
-    objects = [make_obj(i) for i in range(n_objects)]
+    # same objects + scenes as bench.py, by construction: bench.make_obj is
+    # the single source of the catalog's object definitions
+    objects = [bench.make_obj(i) for i in range(n_objects)]
     scenes = bench.build_scenes(objects, n_scenes)
 
     trained = build_oracle_db(objects, cache_dir, shapes=shapes)

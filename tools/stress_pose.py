@@ -133,6 +133,10 @@ def main():
     if td and td != "0.8":
         out["train_distances"] = td
         suffix += "_td" + td.replace(",", "-")
+    te = os.environ.get("BENCH_TRAIN_ELEV", "")
+    if te and te != "85,60,35":
+        out["train_elevations"] = te
+        suffix += "_te" + te.replace(",", "-")
     path = os.path.join(REPO, f"STRESS_POSE{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

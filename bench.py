@@ -350,6 +350,11 @@ def build_scenes(objects, n_scenes: int):
     tools/bench_oracle.py so both engines score the SAME placements).
     BENCH_NOISE=kinect|hard degrades every frame with the structured-light
     sensor model (same frames for both engines; clean by default).
+    BENCH_DUP=1 places TWO INSTANCES of the scene's first object (slots 0
+    and 1 share the object at different poses) — the multi-instance
+    repeated-RANSAC workload (GuessGenerator.cpp:192-231 semantics: one
+    keypoint feeds at most one detection, so the second instance must be
+    found from the matches the first left valid).
     Returns [(image, depth_u16, [(object_id, R, T), ...]), ...]."""
     from tod_tpu.utils.synthetic import (SyntheticObject, compose_scene,
                                          degrade_frame, facing_pose,
@@ -359,10 +364,13 @@ def build_scenes(objects, n_scenes: int):
     if noise and noise not in NOISE_PRESETS:
         raise SystemExit(f"unknown BENCH_NOISE={noise!r}; "
                          f"options: {sorted(NOISE_PRESETS)}")
+    dup = os.environ.get("BENCH_DUP", "") == "1"
     rng = np.random.default_rng(7)
     scenes = []
     for s in range(n_scenes):
         trio = [objects[(3 * s + j) % len(objects)] for j in range(3)]
+        if dup:
+            trio[1] = trio[0]
         # planes are two-sided (facing_pose); solids must present their
         # trained (+z turntable-top) side to the camera
         poses = [facing_pose(rng, z=z) if isinstance(o, SyntheticObject)
@@ -812,6 +820,8 @@ def main():
     }
     if os.environ.get("BENCH_NOISE"):
         out["noise"] = os.environ["BENCH_NOISE"]
+    if os.environ.get("BENCH_DUP") == "1":
+        out["dup_instances"] = True   # multi-instance workload variant
     # reference-semantics CPU baseline over the same workload, if the oracle
     # bench has been run (tools/bench_oracle.py; VERDICT r2 item 1)
     oracle_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -822,7 +832,8 @@ def main():
         if (oracle.get("n_objects") == n_objects
                 and oracle.get("shapes", "plane") == out["shapes"]
                 and oracle.get("noise", "") ==
-                os.environ.get("BENCH_NOISE", "")):
+                os.environ.get("BENCH_NOISE", "")
+                and os.environ.get("BENCH_DUP") != "1"):
             out["oracle_recall_at_2cm"] = oracle.get("recall_at_2cm")
             out["oracle_cpu_fps"] = oracle.get("cpu_fps")
     # measured SIFT/L2 serving numbers over the same workload, if the SIFT

@@ -685,6 +685,14 @@ def main():
                      round(tp / acc, 4) if acc else 1.0)
     log("confidence-gate curve (min_conf: recall, precision): "
         + ", ".join(f"{t}: {r:.3f}/{p:.3f}" for t, (r, p) in curve.items()))
+    # second headline row at the conf/detection.serving.ork default gate
+    # (min_confidence: 24) — the deployment operating point, reported next
+    # to the ungated reference-parity row (VERDICT r3 item 2)
+    gate = int(os.environ.get("BENCH_GATE", "24"))
+    g_rec, g_prec = curve.get(gate, (None, None))
+    if g_rec is not None:
+        log(f"gated headline (min_confidence={gate}, the serving.ork "
+            f"default): recall {g_rec:.3f} / precision {g_prec:.3f}")
     log(f"(recall pass incl. compile: {time.time()-t0:.1f}s)")
 
     # batched throughput — OPT-IN (BENCH_BATCH>=2): streaming wins anyway
@@ -818,6 +826,9 @@ def main():
         "sync_overhead_ms": round(sync_ms, 2),
         "shapes": os.environ.get("BENCH_SHAPES", "mixed"),
     }
+    if g_rec is not None:
+        out["gated"] = {"min_confidence": gate, "recall_at_2cm": g_rec,
+                        "precision_at_2cm": g_prec}
     if os.environ.get("BENCH_NOISE"):
         out["noise"] = os.environ["BENCH_NOISE"]
     if os.environ.get("BENCH_DUP") == "1":
@@ -836,6 +847,14 @@ def main():
                 and os.environ.get("BENCH_DUP") != "1"):
             out["oracle_recall_at_2cm"] = oracle.get("recall_at_2cm")
             out["oracle_cpu_fps"] = oracle.get("cpu_fps")
+            if oracle.get("precision_at_2cm") is not None:
+                out["oracle_precision_at_2cm"] = oracle["precision_at_2cm"]
+                oc = oracle.get("confidence_curve", {})
+                if str(gate) in oc:
+                    out["oracle_gated"] = {
+                        "min_confidence": gate,
+                        "recall_at_2cm": oc[str(gate)][0],
+                        "precision_at_2cm": oc[str(gate)][1]}
     # measured SIFT/L2 serving numbers over the same workload, if the SIFT
     # bench has been run (BENCH_FEATURE=SIFT writes SIFT_BENCH.json)
     sift_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -57,4 +57,13 @@ class Document:
 
     @staticmethod
     def decode_array(data: bytes) -> np.ndarray:
-        return np.load(io.BytesIO(data), allow_pickle=False)
+        """Decode an attachment blob: native npy, with a fallback to the
+        reference-era cv::Mat formats (object_recognition_core FileStorage
+        YAML / PNG / raw header — tod_tpu.db.legacy), so documents written
+        by a reference install load without migration."""
+        try:
+            return np.load(io.BytesIO(data), allow_pickle=False)
+        except (ValueError, OSError):
+            from tod_tpu.db.legacy import decode_legacy_mat
+
+            return decode_legacy_mat(data)

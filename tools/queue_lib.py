@@ -124,37 +124,44 @@ class Queue:
         os.replace(tmp, self.sweep)
 
     # -- the point runner --------------------------------------------------
-    def run(self, tag, **env):
-        """Run one bench point under ``env`` overrides.  Skips if already
-        done; on tunnel failure re-execs the calling script with an
-        escalating quiet window (done-file makes the re-exec resume here)."""
+    def run(self, tag, fn=None, marker=None, knobs=(), **env):
+        """Run one measurement point under ``env`` overrides.  Skips if
+        already done; on tunnel failure re-execs the calling script with an
+        escalating quiet window (done-file makes the re-exec resume here).
+
+        ``fn``: the point entry (default ``bench.main``); ``marker``: the
+        output file whose mtime advancing means success (default
+        BENCH_LAST.json); ``knobs``: extra env names to clear between
+        points beyond the BENCH_* set (e.g. SOAK_*/EXPLORE_* for tool
+        points)."""
         state = self.done()
         if tag in state:
             self.bench.log(f"=== queue point: {tag} "
                            f"(already {state[tag]}, skip) ===")
             return
-        for k in KNOBS:
+        fn = fn or self.bench.main
+        marker = marker or self.last
+        for k in KNOBS + tuple(knobs):
             os.environ.pop(k, None)
         os.environ.update({k: str(v) for k, v in env.items()})
         self.bench.log(f"=== queue point: {tag} ===")
-        before = os.path.getmtime(self.last) if os.path.exists(self.last) \
-            else 0.0
+        before = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
         try:
-            self.bench.main()
+            fn()
         except Exception as e:  # keep the queue alive for later points
             self.bench.log(f"POINT RAISED ({tag}): {type(e).__name__}: {e}")
         gc.collect()
-        after = os.path.getmtime(self.last) if os.path.exists(self.last) \
-            else 0.0
+        after = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
         if after > before:
             self._mark(tag, "done")        # durable before recording
-            self._record(tag, env)
-            if env and os.path.exists(self.last_bak):
-                # overrides ran: restore the default-config headline record
-                shutil.copy(self.last_bak, self.last)
-            elif not env:
-                # a default point IS the new headline: refresh the snapshot
-                shutil.copy(self.last, self.last_bak)
+            if marker == self.last:
+                self._record(tag, env)
+                if env and os.path.exists(self.last_bak):
+                    # overrides ran: restore the default headline record
+                    shutil.copy(self.last_bak, self.last)
+                elif not env:
+                    # a default point IS the new headline: refresh snapshot
+                    shutil.copy(self.last, self.last_bak)
             os.environ["BENCH_REEXEC"] = "0"   # fresh budget for next point
             return
         # no measurement landed: tunnel wedged (or the point is broken).

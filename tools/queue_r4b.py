@@ -1,0 +1,58 @@
+"""Round-4b TPU queue (VERDICT r3 tasks 1, 4, 5, 8): the stateful-serving
+and envelope measurements that need the caches queue_r4a built.
+
+Launch AFTER queue_r4a completes and the bench defaults are flipped to the
+widened capture plan + shrunk geometry budgets.
+
+Capture-plan bookkeeping: the catalog-scale points (400/1000 objects) PIN
+the classic plan (0.8 m / 3 rings) — they reuse r4a's incrementally-built
+caches, and catalog scale is orthogonal to the capture envelope. The
+envelope points (stress sweep) run at the new defaults against the newdef
+100-object cache.
+
+Points:
+  stress-newdef  — tilt/distance stress sweep at the widened-plan default
+                   (STRESS_POSE.json: the >=0.83-through-2.0 m check)
+  soak-cf-400    — 1000-frame stateful soak (coarse->fine + track/explore
+                   + min_confidence 24) at 400 objects -> SOAK_CF_400.json
+  soak-cf-1000   — same at 1000 objects -> SOAK_CF_1000.json
+  explore-1000   — exploration-slot discovery + steady recall at 1000
+                   objects with the composed frontier config
+                   -> EXPLORE_BENCH_1000.json
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from queue_lib import REPO, Queue  # noqa: E402
+
+q = Queue("queue_r4b", os.path.join(REPO, "SWEEP_R4B.json"))
+
+import exp_explore  # noqa: E402
+import soak  # noqa: E402
+import stress_pose  # noqa: E402
+
+STRESS_KNOBS = ("STRESS_OBJECTS", "STRESS_PER_BIN", "STRESS_LEVELS",
+                "STRESS_SWEEP")
+SOAK_KNOBS = ("SOAK_FRAMES", "SOAK_OBJECTS", "SOAK_COARSE", "SOAK_FINE",
+              "SOAK_E", "SOAK_T", "SOAK_GATE")
+EXPLORE_KNOBS = ("EXPLORE_OBJECTS", "EXPLORE_STRIDE", "EXPLORE_WIDTH",
+                 "EXPLORE_E", "EXPLORE_T", "EXPLORE_TTL")
+ALL_KNOBS = STRESS_KNOBS + SOAK_KNOBS + EXPLORE_KNOBS
+OLD_PLAN = {"BENCH_TRAIN_DIST": "0.8", "BENCH_TRAIN_ELEV": "85,60,35"}
+
+q.run("stress-newdef", fn=stress_pose.main,
+      marker=os.path.join(REPO, "STRESS_POSE.json"), knobs=ALL_KNOBS)
+q.run("soak-cf-400", fn=soak.main,
+      marker=os.path.join(REPO, "SOAK_CF_400.json"), knobs=ALL_KNOBS,
+      SOAK_OBJECTS=400, SOAK_COARSE=8, SOAK_FINE=64, SOAK_E=8, SOAK_T=8,
+      SOAK_GATE=24, **OLD_PLAN)
+q.run("soak-cf-1000", fn=soak.main,
+      marker=os.path.join(REPO, "SOAK_CF_1000.json"), knobs=ALL_KNOBS,
+      SOAK_OBJECTS=1000, SOAK_COARSE=8, SOAK_FINE=96, SOAK_E=8, SOAK_T=8,
+      SOAK_GATE=24, **OLD_PLAN)
+q.run("explore-1000", fn=exp_explore.main,
+      marker=os.path.join(REPO, "EXPLORE_BENCH_1000.json"), knobs=ALL_KNOBS,
+      EXPLORE_OBJECTS=1000, EXPLORE_STRIDE=8, EXPLORE_WIDTH=64,
+      EXPLORE_E=16, EXPLORE_T=16, **OLD_PLAN)
+q.finish()

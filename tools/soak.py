@@ -8,10 +8,14 @@ like a real camera loop; tracking/exploration active when configured).
 
 Env: SOAK_FRAMES (default 1000), SOAK_OBJECTS (default 100),
 SOAK_COARSE/SOAK_FINE/SOAK_E/SOAK_T (default: bench serving defaults, no
-coarse->fine), DIAG_PLATFORM (unset = TPU).
+coarse->fine), SOAK_GATE (min_confidence for the gated recall/precision
+tallies; default 24 = conf/detection.serving.ork), DIAG_PLATFORM
+(unset = TPU).
 
 Run: cd /root/repo && python tools/soak.py      (TPU; one client)
-Writes SOAK.json.
+Writes SOAK.json (default stateless point) or SOAK_CF_<objects>.json, with
+gated recall/precision, steady-state (second-half) recall, latch flicker
+counts, latency percentiles, and RSS drift.
 """
 
 import dataclasses
@@ -58,7 +62,18 @@ def main():
     gts = [gt for _, _, gt in scenes]
     det.detect(*frames[0])                       # compile before timing
 
+    # SOAK_GATE: serving confidence gate (conf/detection.serving.ork
+    # min_confidence). Both gated and ungated tallies accumulate in one
+    # pass; flicker counts a placement toggling detected -> undetected
+    # between consecutive visits of its scene (latch stability of the
+    # track/explore slot machinery).
+    gate = int(os.environ.get("SOAK_GATE", "24"))
     times, hits, placed = [], 0, 0
+    g_hits = g_acc = g_tp = 0
+    flicker = 0
+    last_state = {}   # (scene, gt index) -> bool detected on last visit
+    half_mark = n_frames // 2
+    s_hits = s_placed = 0          # steady-state = second half
     window = max(50, n_frames // 10)
     t_start = time.time()
     rss0 = rss_mb()
@@ -67,12 +82,32 @@ def main():
         t0 = time.time()
         found = det.detect(*frames[s])
         times.append(time.time() - t0)
-        for oid, _r, gt_t in gts[s]:
-            placed += 1
-            if any(r.object_id == oid
+        kept = [r for r in found if r.confidence >= gate]
+        g_acc += len(kept)
+        for r in kept:
+            if any(oid == r.object_id
                    and float(np.linalg.norm(r.T - gt_t)) <= 0.02
-                   for r in found):
+                   for oid, _r, gt_t in gts[s]):
+                g_tp += 1
+        for i, (oid, _r, gt_t) in enumerate(gts[s]):
+            placed += 1
+            hit = any(r.object_id == oid
+                      and float(np.linalg.norm(r.T - gt_t)) <= 0.02
+                      for r in found)
+            g_hit = any(r.object_id == oid
+                        and float(np.linalg.norm(r.T - gt_t)) <= 0.02
+                        for r in kept)
+            if hit:
                 hits += 1
+            if g_hit:
+                g_hits += 1
+            if t >= half_mark:
+                s_placed += 1
+                s_hits += 1 if hit else 0
+            prev = last_state.get((s, i))
+            if prev is True and not hit:
+                flicker += 1
+            last_state[(s, i)] = hit
         if (t + 1) % window == 0:
             w = times[-window:]
             bench.log(f"  frame {t + 1}/{n_frames}: window p50 "
@@ -94,11 +129,19 @@ def main():
         "latency_drift_pct": float(
             (np.median(last) / np.median(first) - 1.0) * 100.0),
         "recall_at_2cm_overall": hits / max(placed, 1),
+        "recall_at_2cm_steady": s_hits / max(s_placed, 1),
+        "gate": gate,
+        "recall_at_2cm_gated": g_hits / max(placed, 1),
+        "precision_at_2cm_gated": g_tp / max(g_acc, 1),
+        "flicker_count": flicker,
+        "flicker_per_1k_visits": 1000.0 * flicker / max(placed, 1),
         "rss_start_mb": rss0,
         "rss_end_mb": rss_mb(),
     }
     bench.log(json.dumps(out))
-    with open(os.path.join(REPO, "SOAK.json"), "w") as f:
+    name = ("SOAK.json" if stride == 0 and n_objects == 100
+            else f"SOAK_CF_{n_objects}.json")
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -148,22 +148,24 @@ def build_db(n_objects: int, seed: int = 0):
     dedup = int(os.environ.get("BENCH_DEDUP", "8"))
     subpixel = os.environ.get("BENCH_SUBPIXEL", "") == "1"
     feature = os.environ.get("BENCH_FEATURE", "ORB")
-    # BENCH_TRAIN_DIST="0.8,1.6": extra capture distances beyond the first
-    # add one 12-view ring each (multi-scale training). ORB's pyramid only
-    # covers ~scale^levels (~1.4x at the 3-level operating point) of
-    # appearance shrink, so single-distance training bounds far-range
-    # detection (STRESS_POSE.json: recall falls past ~1.5x the 0.8 m
-    # capture distance); far rings put far-scale descriptors in the model.
+    # BENCH_TRAIN_DIST: capture distances; each beyond the first adds one
+    # 12-view ring (multi-scale training). ORB's pyramid only covers
+    # ~scale^levels (~1.4x at the 3-level operating point) of appearance
+    # shrink, so single-distance training bounds far-range detection
+    # (STRESS_POSE_td0.8-1.6.json: 1.5-2.0 m recall 0.42-0.75 single-dist
+    # vs 0.83-0.92 with the far ring). Default: the WIDENED plan
+    # (VERDICT r3 item 4); BENCH_TRAIN_DIST=0.8 restores the narrow
+    # rounds-1..3 plan (and its cache keys).
     train_dists = [float(v) for v in
-                   os.environ.get("BENCH_TRAIN_DIST", "0.8").split(",")]
-    # BENCH_TRAIN_ELEV="85,60,35,15": turntable elevation rings (deg above
-    # the horizon). Viewing tilt past 90 - min(elev) is outside the
-    # captured cone (STRESS_POSE.json: recall falls at 75 deg tilt with
-    # the default 35-85 deg rings); a lower ring covers oblique viewing
-    # the same way the far distance ring covers range.
+                   os.environ.get("BENCH_TRAIN_DIST", "0.8,1.6").split(",")]
+    # BENCH_TRAIN_ELEV: turntable elevation rings (deg above the horizon).
+    # Viewing tilt past 90 - min(elev) is outside the captured cone
+    # (STRESS_POSE_te85-60-35-15.json: the 15-deg ring drops 75-deg-tilt
+    # median error 1.2 -> 0.4 mm); the low ring covers oblique viewing the
+    # same way the far distance ring covers range. Default: 4 rings.
     train_elevs = tuple(
         float(v) for v in
-        os.environ.get("BENCH_TRAIN_ELEV", "85,60,35").split(","))
+        os.environ.get("BENCH_TRAIN_ELEV", "85,60,35,15").split(","))
     cache = None
     if cache_dir:
         sp = "_sp" if subpixel else ""
@@ -428,7 +430,9 @@ def build_config(n_features: int):
         fine_width=int(os.environ.get("BENCH_FINE", "128")),
         activation=ActivationConfig(
             m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
-            n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "192")),
+            # tier-1 128 hypotheses suffice under the prescreen (SWEEP_R4A
+            # acthyp-128: recall 1.000) — part of the shrunk-budget default
+            n_hypotheses=int(os.environ.get("BENCH_ACT_HYP", "128")),
             object_batch=20,
             # BENCH_PRESCREEN=P bounds tier-1 (the one linear-in-catalog
             # stage) to the top-P objects by margin mass; 0 = score all.
@@ -442,10 +446,14 @@ def build_config(n_features: int):
                 str(max(32, int(os.environ.get("BENCH_OBJECTS", "100"))
                         // 12))))),
         guess=GuessConfig(
+            # tier-2 budgets re-sized under the P=32 prescreen (SWEEP_R4A
+            # combo point: 768/192 -> 512/128 holds recall 1.000 and gains
+            # ~4 FPS at the 100-object point; junk that used to need the
+            # budget headroom is screened out before RANSAC ever sees it)
             ransac=RansacConfig(
-                n_hypotheses=int(os.environ.get("BENCH_HYP", "768")),
+                n_hypotheses=int(os.environ.get("BENCH_HYP", "512")),
                 continuation_hypotheses=int(
-                    os.environ.get("BENCH_CONT", "192")),
+                    os.environ.get("BENCH_CONT", "128")),
                 min_inliers=8, max_instances=3, tight_final_fit=True),
             # M=384 beats 512 on BOTH axes with margin-ordered caps (junk
             # tail drops faster than correct): recall .917 @ 34 FPS

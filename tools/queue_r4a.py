@@ -39,26 +39,35 @@ q.run("acthyp-128", BENCH_ACT_HYP=128, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV=
 q.run("hyp-512", BENCH_HYP=512, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
 q.run("combo", BENCH_CONT=128, BENCH_ACT_HYP=128, BENCH_HYP=512,
       BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
-q.run("default-refresh", BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+q.run("default-refresh", BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35",
+      BENCH_CONT=192, BENCH_HYP=768, BENCH_ACT_HYP=192)
 q.run("newdef-100", BENCH_TRAIN_DIST="0.8,1.6",
-      BENCH_TRAIN_ELEV="85,60,35,15")
+      BENCH_TRAIN_ELEV="85,60,35,15",
+      BENCH_CONT=192, BENCH_HYP=768, BENCH_ACT_HYP=192)
 q.run("cf-400", BENCH_OBJECTS=400, BENCH_COARSE=8, BENCH_FINE=64,
-      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35",
+      BENCH_CONT=192, BENCH_HYP=768, BENCH_ACT_HYP=192)
 q.run("cf-1000", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
-      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35",
+      BENCH_CONT=192, BENCH_HYP=768, BENCH_ACT_HYP=192)
 # tier-1 variance probe: obj009/obj015 misses are marginal planes (t1
 # scores 15-19); double the tier-1 budget where coarse->fine shrank the
 # match stage
 q.run("cf-1000-hyp384", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
-      BENCH_ACT_HYP=384, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+      BENCH_ACT_HYP=384, BENCH_CONT=192, BENCH_HYP=768,
+      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
 # prescreen-width probe: obj021 sits at margin-mass rank 124 at 1000
 # objects — both the prescreen AND the coarse->fine slab must clear rank
 # 124 (P=166 ~ O/6, fine_width 192)
 q.run("cf-1000-p166", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=192,
-      BENCH_ACT_HYP=384, BENCH_PRESCREEN=166, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+      BENCH_ACT_HYP=384, BENCH_PRESCREEN=166, BENCH_CONT=192, BENCH_HYP=768,
+      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
 # the composed frontier candidate: coarse->fine + shrunk tier-2 budgets
 q.run("cf-1000-shrunk", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
-      BENCH_CONT=128, BENCH_HYP=512, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
-q.run("full-1000", BENCH_OBJECTS=1000, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
-q.run("batch4-100", BENCH_BATCH=4, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+      BENCH_CONT=128, BENCH_HYP=512, BENCH_ACT_HYP=192,
+      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+q.run("full-1000", BENCH_OBJECTS=1000, BENCH_CONT=192, BENCH_HYP=768,
+      BENCH_ACT_HYP=192, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
+q.run("batch4-100", BENCH_BATCH=4, BENCH_CONT=192, BENCH_HYP=768,
+      BENCH_ACT_HYP=192, BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
 q.finish()

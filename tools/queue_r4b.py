@@ -41,6 +41,10 @@ EXPLORE_KNOBS = ("EXPLORE_OBJECTS", "EXPLORE_STRIDE", "EXPLORE_WIDTH",
 ALL_KNOBS = STRESS_KNOBS + SOAK_KNOBS + EXPLORE_KNOBS
 OLD_PLAN = {"BENCH_TRAIN_DIST": "0.8", "BENCH_TRAIN_ELEV": "85,60,35"}
 
+# the SHIPPED default after the round-4 flip (widened capture plan +
+# shrunk budgets): measured with zero overrides so BENCH_LAST.json ends on
+# exactly what `python bench.py` gives a fresh user / the driver
+q.run("default-new", knobs=ALL_KNOBS)
 q.run("stress-newdef", fn=stress_pose.main,
       marker=os.path.join(REPO, "STRESS_POSE.json"), knobs=ALL_KNOBS)
 q.run("soak-cf-400", fn=soak.main,

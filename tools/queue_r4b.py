@@ -45,6 +45,15 @@ OLD_PLAN = {"BENCH_TRAIN_DIST": "0.8", "BENCH_TRAIN_ELEV": "85,60,35"}
 # shrunk budgets): measured with zero overrides so BENCH_LAST.json ends on
 # exactly what `python bench.py` gives a fresh user / the driver
 q.run("default-new", knobs=ALL_KNOBS)
+# newdef-100 (r4a, old budgets) measured 39.5 FPS / 0.958 — obj021 missed
+# outright: +60% rows dilute its margin mass. Two cheap recoveries on the
+# warm widened-plan cache:
+#   rc24x10 — load-time recompression (hamming<=24 AND 3D<=10mm collapses
+#             near-duplicate far/near-ring rows; matcher+tier1 are linear
+#             in rows, so this also buys FPS back)
+#   p48     — wider tier-1 prescreen (margin-mass rank must clear obj021)
+q.run("newdef-rc", BENCH_RECOMPRESS="24x10", knobs=ALL_KNOBS)
+q.run("newdef-p48", BENCH_PRESCREEN=48, knobs=ALL_KNOBS)
 q.run("stress-newdef", fn=stress_pose.main,
       marker=os.path.join(REPO, "STRESS_POSE.json"), knobs=ALL_KNOBS)
 q.run("soak-cf-400", fn=soak.main,
@@ -59,4 +68,9 @@ q.run("explore-1000", fn=exp_explore.main,
       marker=os.path.join(REPO, "EXPLORE_BENCH_1000.json"), knobs=ALL_KNOBS,
       EXPLORE_OBJECTS=1000, EXPLORE_STRIDE=8, EXPLORE_WIDTH=64,
       EXPLORE_E=16, EXPLORE_T=16, **OLD_PLAN)
+# coarse-stride scaling probe: the coarse sweep is the linear-in-catalog
+# stage at 1000 objects; stride 16 halves it. Shrunk budgets.
+q.run("cf-1000-s16", BENCH_OBJECTS=1000, BENCH_COARSE=16, BENCH_FINE=96,
+      BENCH_CONT=128, BENCH_HYP=512, BENCH_ACT_HYP=192, knobs=ALL_KNOBS,
+      **OLD_PLAN)
 q.finish()

@@ -31,6 +31,12 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+# the default synthetic capture plan (widened in round 4: two distances +
+# four elevation rings; see build_db comments and conf/training.ork)
+DEFAULT_TRAIN_DIST = "0.8,1.6"
+DEFAULT_TRAIN_ELEV = "85,60,35,15"
+
+
 def wait_for_devices(window: Optional[float] = None, delay: float = 20.0):
     """The TPU tunnel backend can refuse connections for a while (observed
     up to ~1h) after a previous client disconnects; retry initialization
@@ -157,7 +163,7 @@ def build_db(n_objects: int, seed: int = 0):
     # (VERDICT r3 item 4); BENCH_TRAIN_DIST=0.8 restores the narrow
     # rounds-1..3 plan (and its cache keys).
     train_dists = [float(v) for v in
-                   os.environ.get("BENCH_TRAIN_DIST", "0.8,1.6").split(",")]
+                   os.environ.get("BENCH_TRAIN_DIST", DEFAULT_TRAIN_DIST).split(",")]
     # BENCH_TRAIN_ELEV: turntable elevation rings (deg above the horizon).
     # Viewing tilt past 90 - min(elev) is outside the captured cone
     # (STRESS_POSE_te85-60-35-15.json: the 15-deg ring drops 75-deg-tilt
@@ -165,7 +171,7 @@ def build_db(n_objects: int, seed: int = 0):
     # same way the far distance ring covers range. Default: 4 rings.
     train_elevs = tuple(
         float(v) for v in
-        os.environ.get("BENCH_TRAIN_ELEV", "85,60,35,15").split(","))
+        os.environ.get("BENCH_TRAIN_ELEV", DEFAULT_TRAIN_ELEV).split(","))
     cache = None
     if cache_dir:
         sp = "_sp" if subpixel else ""

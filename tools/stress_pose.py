@@ -129,13 +129,18 @@ def main():
                                                   15.0, float(z))
     out["elapsed_s"] = round(time.time() - t0, 1)
     suffix = (f"_l{cfg.n_levels}" if levels else "")
+    # record the EFFECTIVE capture plan (bench.build_db defaults apply when
+    # the env knobs are unset — since round 4 the default is the widened
+    # plan); suffix the output file only for non-default explicit overrides
+    out["train_distances"] = os.environ.get("BENCH_TRAIN_DIST",
+                                            bench.DEFAULT_TRAIN_DIST)
+    out["train_elevations"] = os.environ.get("BENCH_TRAIN_ELEV",
+                                             bench.DEFAULT_TRAIN_ELEV)
     td = os.environ.get("BENCH_TRAIN_DIST", "")
-    if td and td != "0.8":
-        out["train_distances"] = td
+    if td and td != bench.DEFAULT_TRAIN_DIST:
         suffix += "_td" + td.replace(",", "-")
     te = os.environ.get("BENCH_TRAIN_ELEV", "")
-    if te and te != "85,60,35":
-        out["train_elevations"] = te
+    if te and te != bench.DEFAULT_TRAIN_ELEV:
         suffix += "_te" + te.replace(",", "-")
     path = os.path.join(REPO, f"STRESS_POSE{suffix}.json")
     with open(path, "w") as f:

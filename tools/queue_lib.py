@@ -150,6 +150,17 @@ class Queue:
             fn()
         except Exception as e:  # keep the queue alive for later points
             self.bench.log(f"POINT RAISED ({tag}): {type(e).__name__}: {e}")
+            if "RESOURCE_EXHAUSTED" in str(e):
+                # genuine device OOM: retrying with quiet windows cannot
+                # help (the program doesn't fit); fail the point now.
+                # NOTE an OOM can also be accumulated device garbage in a
+                # long-lived queue process — if the point matters, re-run
+                # it first in a FRESH process before believing the wall.
+                self.bench.log(f"POINT FAILED permanently ({tag}): "
+                               "device OOM (no retry)")
+                self._mark(tag, "failed-oom")
+                os.environ["BENCH_REEXEC"] = "0"
+                return
         gc.collect()
         after = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
         if after > before:

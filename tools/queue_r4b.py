@@ -73,4 +73,14 @@ q.run("explore-1000", fn=exp_explore.main,
 q.run("cf-1000-s16", BENCH_OBJECTS=1000, BENCH_COARSE=16, BENCH_FINE=96,
       BENCH_CONT=128, BENCH_HYP=512, BENCH_ACT_HYP=192, knobs=ALL_KNOBS,
       **OLD_PLAN)
+# fresh-process retries of the r4a probes that OOMed in the long-lived
+# r4a process (accumulated device garbage vs a real HBM wall — this run
+# decides which; if they OOM again, the wider screens at 16M rows are a
+# 2-chip config and the sharded serving step is the documented answer)
+q.run("cf-1000-hyp384", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=96,
+      BENCH_ACT_HYP=384, BENCH_CONT=192, BENCH_HYP=768, knobs=ALL_KNOBS,
+      **OLD_PLAN)
+q.run("cf-1000-p166", BENCH_OBJECTS=1000, BENCH_COARSE=8, BENCH_FINE=192,
+      BENCH_ACT_HYP=384, BENCH_PRESCREEN=166, BENCH_CONT=192, BENCH_HYP=768,
+      knobs=ALL_KNOBS, **OLD_PLAN)
 q.finish()

@@ -434,6 +434,17 @@ def build_config(n_features: int):
         # catalogs (the full sweep is linear in total rows). 0 = off.
         coarse_stride=int(os.environ.get("BENCH_COARSE", "0")),
         fine_width=int(os.environ.get("BENCH_FINE", "128")),
+        # BENCH_TRACK / BENCH_EXPLORE: reserve that many fine-slab slots
+        # for tracked (recently-accepted) and exploration (deterministic
+        # catalog rotation) objects — the stateful streaming serving mode
+        # (conf/detection.serving.ork track_width/explore_width). The
+        # streaming FPS loop drives the full state machinery; the one-shot
+        # recall pass sees each scene once and so understates the
+        # steady-state recall this mode exists for (tools/exp_explore.py
+        # measures that).
+        track_width=int(os.environ.get("BENCH_TRACK", "0")),
+        explore_width=int(os.environ.get("BENCH_EXPLORE", "0")),
+        track_ttl=int(os.environ.get("BENCH_TTL", "2")),
         activation=ActivationConfig(
             m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
             # tier-1 128 hypotheses suffice under the prescreen (SWEEP_R4A

@@ -143,6 +143,8 @@ def main():
     }
     name = ("EXPLORE_BENCH.json" if n_objects == 100
             else f"EXPLORE_BENCH_{n_objects}.json")
+    if stride != 8:   # non-default stride: keep the default-stride record
+        name = name.replace(".json", f"_s{stride}.json")
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
     bench.log(f"wrote {name}")

@@ -56,6 +56,20 @@ q.run("newdef-rc", BENCH_RECOMPRESS="24x10", knobs=ALL_KNOBS)
 q.run("newdef-p48", BENCH_PRESCREEN=48, knobs=ALL_KNOBS)
 q.run("stress-newdef", fn=stress_pose.main,
       marker=os.path.join(REPO, "STRESS_POSE.json"), knobs=ALL_KNOBS)
+# frontier steady-recall check (exp_explore at the composed config:
+# stride 16 coarse, 64-slab with 16 explore + 16 track slots, shrunk
+# tier-2 budgets, full tier-1)
+q.run("explore-1000-s16", fn=exp_explore.main,
+      marker=os.path.join(REPO, "EXPLORE_BENCH_1000_s16.json"),
+      knobs=ALL_KNOBS,
+      EXPLORE_OBJECTS=1000, EXPLORE_STRIDE=16, EXPLORE_WIDTH=64,
+      EXPLORE_E=16, EXPLORE_T=16, BENCH_CONT=128, BENCH_HYP=512,
+      BENCH_ACT_HYP=192, **OLD_PLAN)
+# frontier streaming-FPS check (bench at the same config; the recall pass
+# here understates steady recall -- the explore point above carries it)
+q.run("frontier-1000", BENCH_OBJECTS=1000, BENCH_COARSE=16, BENCH_FINE=64,
+      BENCH_TRACK=16, BENCH_EXPLORE=16, BENCH_CONT=128, BENCH_HYP=512,
+      BENCH_ACT_HYP=192, knobs=ALL_KNOBS, **OLD_PLAN)
 q.run("soak-cf-400", fn=soak.main,
       marker=os.path.join(REPO, "SOAK_CF_400.json"), knobs=ALL_KNOBS,
       SOAK_OBJECTS=400, SOAK_COARSE=8, SOAK_FINE=64, SOAK_E=8, SOAK_T=8,
@@ -67,7 +81,8 @@ q.run("soak-cf-1000", fn=soak.main,
 q.run("explore-1000", fn=exp_explore.main,
       marker=os.path.join(REPO, "EXPLORE_BENCH_1000.json"), knobs=ALL_KNOBS,
       EXPLORE_OBJECTS=1000, EXPLORE_STRIDE=8, EXPLORE_WIDTH=64,
-      EXPLORE_E=16, EXPLORE_T=16, **OLD_PLAN)
+      EXPLORE_E=16, EXPLORE_T=16, BENCH_CONT=128, BENCH_HYP=512,
+      BENCH_ACT_HYP=192, **OLD_PLAN)
 # coarse-stride scaling probe: the coarse sweep is the linear-in-catalog
 # stage at 1000 objects; stride 16 halves it. Shrunk budgets.
 q.run("cf-1000-s16", BENCH_OBJECTS=1000, BENCH_COARSE=16, BENCH_FINE=96,

@@ -148,6 +148,18 @@ class Queue:
         before = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
         try:
             fn()
+            # drop jit caches + garbage between points: device buffers
+            # accumulate across a long-lived queue process (measured: the
+            # r4a process OOMed on points that run clean in a fresh
+            # process). Recompiles cost ~30-90s/point; OOMing a paid-for
+            # point costs the point.
+            gc.collect()
+            try:
+                import jax
+
+                jax.clear_caches()
+            except Exception:
+                pass
         except Exception as e:  # keep the queue alive for later points
             self.bench.log(f"POINT RAISED ({tag}): {type(e).__name__}: {e}")
             if "RESOURCE_EXHAUSTED" in str(e):

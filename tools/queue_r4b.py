@@ -54,6 +54,13 @@ q.run("default-new", knobs=ALL_KNOBS)
 #   p48     — wider tier-1 prescreen (margin-mass rank must clear obj021)
 q.run("newdef-rc", BENCH_RECOMPRESS="24x10", knobs=ALL_KNOBS)
 q.run("newdef-p48", BENCH_PRESCREEN=48, knobs=ALL_KNOBS)
+# batched-mode make-or-break (VERDICT task 6): 4 independent streams via
+# detect_batch_raw vs streaming in the same run. Early in the queue: it
+# OOMed in r4a only because it ran right after the 16M-row full-1000
+# point in the same process.
+q.run("batch4-100", BENCH_BATCH=4, BENCH_CONT=192, BENCH_HYP=768,
+      BENCH_ACT_HYP=192, knobs=ALL_KNOBS,
+      BENCH_TRAIN_DIST="0.8", BENCH_TRAIN_ELEV="85,60,35")
 q.run("stress-newdef", fn=stress_pose.main,
       marker=os.path.join(REPO, "STRESS_POSE.json"), knobs=ALL_KNOBS)
 # frontier steady-recall check (exp_explore at the composed config:

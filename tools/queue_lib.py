@@ -1,37 +1,34 @@
 """Shared wedge-tolerant TPU measurement-queue harness.
 
-One process = one tunnel connection (memory/axon-tpu-tunnel-quirks: a second
-client wedges both).  Each *point* runs ``bench.main()`` with a set of
-``BENCH_*`` env overrides; success is detected by BENCH_LAST.json's mtime
-advancing.  On failure the queue re-execs itself with an escalating quiet
-window (the only thing observed to clear a tunnel wedge), skipping completed
-points via a done-file.
+One process = one tunnel connection (memory/axon-tpu-tunnel-quirks: a
+second client wedges both), and one POINT = one fresh subprocess
+(tools/queue_point.py): device buffers accumulate across points run
+in-process — the round-4a/4b OOM source; full-1000 OOMed mid-queue but ran
+clean in a fresh process, and jax.clear_caches between in-process points
+did not help.  The parent never imports jax, so it holds no connection
+while a child runs or while it sleeps out a wedge quiet window.
 
-Used by thin per-round point lists (tools/queue_r4*.py).  Replaces the three
-copied harnesses queue_r3{c,d,e}.py (ADVICE r3: factor into queue_lib).
+Each *point* runs ``<module>:<func>`` (default ``bench:main``) with a set
+of env overrides; success is the point's marker file mtime advancing.  On
+failure the parent sleeps an escalating quiet window (the only thing
+observed to clear a tunnel wedge) and relaunches, skipping completed
+points via a done-file.  A RESOURCE_EXHAUSTED child fails the point
+immediately — in a fresh process that is a real HBM wall, not garbage.
 
-Fixes folded in from ADVICE r3:
-- every recorded sweep payload carries the env overrides that produced it
-  (``payload["env"]``), so a non-default point can never masquerade as the
-  headline config;
+Fixes folded in from ADVICE r3 (carried from the v1 harness):
+- every recorded sweep payload carries the env overrides that produced it;
 - BENCH_LAST.json is snapshotted at queue start and restored after every
-  point that ran with overrides — the durable headline record never holds a
-  non-default measurement even if the queue dies mid-sweep;
-- sweep-file writes are atomic (temp + os.replace) and tolerate a corrupt /
-  partial existing file (start fresh rather than crash after a paid-for
-  bench);
-- the point is marked done BEFORE recording, so a recording crash can't
-  force an expensive re-run;
-- /tmp state files are keyed by queue name + repo-path hash, so a stale
-  done-file from another checkout can't silently empty a sweep.  To re-run
-  a finished sweep deliberately, delete the state files the queue prints at
-  startup.
+  point that ran with overrides;
+- sweep-file writes are atomic and tolerate a corrupt existing file;
+- the point is marked done BEFORE recording;
+- /tmp state files are keyed by queue name + repo-path hash; delete the
+  printed state files to re-run a finished sweep.
 """
-import gc
 import hashlib
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -48,10 +45,15 @@ KNOBS = (
     "BENCH_TRAIN_DIST", "BENCH_TRAIN_ELEV",
     "BENCH_PIPELINE", "BENCH_QCAP", "BENCH_BUCKET", "BENCH_RADIUS",
     "BENCH_K", "BENCH_COARSE", "BENCH_FINE",
+    "BENCH_TRACK", "BENCH_EXPLORE", "BENCH_TTL",
     "BENCH_ACT_CAP", "BENCH_ACT_HYP", "BENCH_PRESCREEN",
     "BENCH_HYP", "BENCH_CONT", "BENCH_M", "BENCH_ACTIVE",
-    "BENCH_BATCH",
+    "BENCH_BATCH", "BENCH_REEXEC", "QUEUE_QUIET",
 )
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
 
 
 class Queue:
@@ -63,20 +65,10 @@ class Queue:
         self.last = os.path.join(REPO, "BENCH_LAST.json")
         self.last_bak = os.path.join(REPO, f".{name}.last.bak")
         self.sweep = sweep_path
-        self.script = os.path.abspath(sys.argv[0])
-        print(f"queue {name}: state files {self.done_path} / "
-              f"{self.retries_path} (delete to re-run a finished sweep)",
-              flush=True)
-        # honor the long-quiet window BEFORE any jax import (zero open
-        # connections is the only state observed to clear a wedge)
-        quiet = float(os.environ.pop("QUEUE_QUIET", "0") or 0)
-        if quiet:
-            print(f"queue: long quiet window {quiet:.0f}s (no connections)",
-                  flush=True)
-            time.sleep(quiet)
-        import bench  # noqa: E402  (after the quiet window)
-
-        self.bench = bench
+        self.point_driver = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "queue_point.py")
+        log(f"queue {name}: state files {self.done_path} / "
+            f"{self.retries_path} (delete to re-run a finished sweep)")
         if os.path.exists(self.last) and not os.path.exists(self.last_bak):
             shutil.copy(self.last, self.last_bak)
 
@@ -102,6 +94,15 @@ class Queue:
         except (OSError, ValueError):
             return {}
 
+    def _bump_retries(self, tag):
+        r = self._retries()
+        r[tag] = r.get(tag, 0) + 1
+        tmp = self.retries_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(r, f)
+        os.replace(tmp, self.retries_path)
+        return r[tag]
+
     def _record(self, tag, env):
         sweep = {}
         try:
@@ -113,8 +114,7 @@ class Queue:
             with open(self.last) as f:
                 payload = json.load(f)
         except (OSError, ValueError) as e:
-            self.bench.log(f"record failed ({tag}): unreadable "
-                           f"BENCH_LAST.json: {e}")
+            log(f"record failed ({tag}): unreadable BENCH_LAST.json: {e}")
             return
         payload["env"] = {k: str(v) for k, v in env.items()}
         sweep[tag] = payload
@@ -124,56 +124,38 @@ class Queue:
         os.replace(tmp, self.sweep)
 
     # -- the point runner --------------------------------------------------
-    def run(self, tag, fn=None, marker=None, knobs=(), **env):
-        """Run one measurement point under ``env`` overrides.  Skips if
-        already done; on tunnel failure re-execs the calling script with an
-        escalating quiet window (done-file makes the re-exec resume here).
+    def run(self, tag, entry="bench:main", marker=None, timeout=10800.0,
+            **env):
+        """Run one measurement point in a FRESH subprocess.
 
-        ``fn``: the point entry (default ``bench.main``); ``marker``: the
+        ``entry``: ``module:function`` resolved by tools/queue_point.py
+        (tools/ and the repo root are on its sys.path).  ``marker``: the
         output file whose mtime advancing means success (default
-        BENCH_LAST.json); ``knobs``: extra env names to clear between
-        points beyond the BENCH_* set (e.g. SOAK_*/EXPLORE_* for tool
-        points)."""
+        BENCH_LAST.json).  ``timeout``: child wall-clock bound (training
+        points at 1000 objects legitimately run >1h)."""
         state = self.done()
         if tag in state:
-            self.bench.log(f"=== queue point: {tag} "
-                           f"(already {state[tag]}, skip) ===")
+            log(f"=== queue point: {tag} (already {state[tag]}, skip) ===")
             return
-        fn = fn or self.bench.main
         marker = marker or self.last
-        for k in KNOBS + tuple(knobs):
-            os.environ.pop(k, None)
-        os.environ.update({k: str(v) for k, v in env.items()})
-        self.bench.log(f"=== queue point: {tag} ===")
+        child_env = {k: v for k, v in os.environ.items()
+                     if k not in KNOBS and not k.startswith(
+                         ("STRESS_", "SOAK_", "EXPLORE_", "DIAG_"))}
+        child_env.update({k: str(v) for k, v in env.items()})
+        log(f"=== queue point: {tag} ({entry}) ===")
         before = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
+        oom = False
         try:
-            fn()
-            # drop jit caches + garbage between points: device buffers
-            # accumulate across a long-lived queue process (measured: the
-            # r4a process OOMed on points that run clean in a fresh
-            # process). Recompiles cost ~30-90s/point; OOMing a paid-for
-            # point costs the point.
-            gc.collect()
-            try:
-                import jax
-
-                jax.clear_caches()
-            except Exception:
-                pass
-        except Exception as e:  # keep the queue alive for later points
-            self.bench.log(f"POINT RAISED ({tag}): {type(e).__name__}: {e}")
-            if "RESOURCE_EXHAUSTED" in str(e):
-                # genuine device OOM: retrying with quiet windows cannot
-                # help (the program doesn't fit); fail the point now.
-                # NOTE an OOM can also be accumulated device garbage in a
-                # long-lived queue process — if the point matters, re-run
-                # it first in a FRESH process before believing the wall.
-                self.bench.log(f"POINT FAILED permanently ({tag}): "
-                               "device OOM (no retry)")
-                self._mark(tag, "failed-oom")
-                os.environ["BENCH_REEXEC"] = "0"
-                return
-        gc.collect()
+            proc = subprocess.run(
+                [sys.executable, self.point_driver, entry],
+                env=child_env, cwd=REPO, timeout=timeout,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            out = proc.stdout.decode(errors="replace")
+            sys.stderr.write(out[-8000:])
+            sys.stderr.flush()
+            oom = "RESOURCE_EXHAUSTED" in out
+        except subprocess.TimeoutExpired:
+            log(f"POINT TIMED OUT ({tag}) after {timeout:.0f}s")
         after = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
         if after > before:
             self._mark(tag, "done")        # durable before recording
@@ -185,30 +167,24 @@ class Queue:
                 elif not env:
                     # a default point IS the new headline: refresh snapshot
                     shutil.copy(self.last, self.last_bak)
-            os.environ["BENCH_REEXEC"] = "0"   # fresh budget for next point
             return
-        # no measurement landed: tunnel wedged (or the point is broken).
-        # This process's PJRT claim is half-open — only execv/exit closes it.
-        r = self._retries()
-        r[tag] = r.get(tag, 0) + 1
-        tmp = self.retries_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(r, f)
-        os.replace(tmp, self.retries_path)
-        if r[tag] > 6:
-            self.bench.log(f"POINT FAILED permanently ({tag}) after "
-                           f"{r[tag] - 1} long-quiet retries")
+        if oom:
+            # fresh process + OOM = the program genuinely doesn't fit HBM
+            log(f"POINT FAILED permanently ({tag}): device OOM in a fresh "
+                "process (real HBM wall)")
+            self._mark(tag, "failed-oom")
+            return
+        n = self._bump_retries(tag)
+        if n > 4:
+            log(f"POINT FAILED permanently ({tag}) after {n - 1} "
+                "long-quiet retries")
             self._mark(tag, "failed")
             return
-        q = 900.0 * r[tag]
-        self.bench.log(f"point {tag} failed (retry {r[tag]}/6): re-exec "
-                       f"with {q:.0f}s quiet window")
-        os.environ["QUEUE_QUIET"] = str(q)
-        os.environ["BENCH_REEXEC"] = "0"
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os.execv(sys.executable, [sys.executable, self.script])
+        q = 600.0 * n
+        log(f"point {tag} failed (retry {n}/4): quiet window {q:.0f}s "
+            "(parent holds no connection), then relaunch")
+        time.sleep(q)
+        self.run(tag, entry=entry, marker=marker, timeout=timeout, **env)
 
     def finish(self):
-        self.bench.log(f"queue {self.name} complete: "
-                       + json.dumps(self.done()))
+        log(f"queue {self.name} complete: " + json.dumps(self.done()))

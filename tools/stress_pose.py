@@ -142,6 +142,10 @@ def main():
     te = os.environ.get("BENCH_TRAIN_ELEV", "")
     if te and te != bench.DEFAULT_TRAIN_ELEV:
         suffix += "_te" + te.replace(",", "-")
+    # STRESS_TAG: explicit suffix for A/B runs under non-plan overrides
+    # (e.g. budget knobs) so they never clobber the defaults record
+    if os.environ.get("STRESS_TAG"):
+        suffix += "_" + os.environ["STRESS_TAG"]
     path = os.path.join(REPO, f"STRESS_POSE{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

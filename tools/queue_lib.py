@@ -145,13 +145,16 @@ class Queue:
         log(f"=== queue point: {tag} ({entry}) ===")
         before = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
         oom = False
+        point_log = f"/tmp/{self.name}.{tag}.log"
         try:
-            proc = subprocess.run(
-                [sys.executable, self.point_driver, entry],
-                env=child_env, cwd=REPO, timeout=timeout,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            out = proc.stdout.decode(errors="replace")
-            sys.stderr.write(out[-8000:])
+            with open(point_log, "ab") as lf:
+                subprocess.run(
+                    [sys.executable, self.point_driver, entry],
+                    env=child_env, cwd=REPO, timeout=timeout,
+                    stdout=lf, stderr=subprocess.STDOUT)
+            with open(point_log, "rb") as lf:
+                out = lf.read().decode(errors="replace")
+            sys.stderr.write(out[-4000:])
             sys.stderr.flush()
             oom = "RESOURCE_EXHAUSTED" in out
         except subprocess.TimeoutExpired:

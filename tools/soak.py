@@ -68,6 +68,12 @@ def main():
     # between consecutive visits of its scene (latch stability of the
     # track/explore slot machinery).
     gate = int(os.environ.get("SOAK_GATE", "24"))
+    # SOAK_BLOCK: consecutive frames per scene before cycling (default 1 =
+    # round-robin every frame). Round-robin defeats the track latch (the
+    # 8-frame revisit gap exceeds track_ttl), so it measures the near-
+    # stateless floor; a real camera dwells on a scene — SOAK_BLOCK=64
+    # exercises latch/explore steady state AND long-run drift together.
+    block = int(os.environ.get("SOAK_BLOCK", "1"))
     times, hits, placed = [], 0, 0
     g_hits = g_acc = g_tp = 0
     flicker = 0
@@ -78,7 +84,7 @@ def main():
     t_start = time.time()
     rss0 = rss_mb()
     for t in range(n_frames):
-        s = t % len(frames)
+        s = (t // block) % len(frames)
         t0 = time.time()
         found = det.detect(*frames[s])
         times.append(time.time() - t0)
@@ -139,8 +145,11 @@ def main():
         "rss_end_mb": rss_mb(),
     }
     bench.log(json.dumps(out))
+    out["block"] = block
     name = ("SOAK.json" if stride == 0 and n_objects == 100
             else f"SOAK_CF_{n_objects}.json")
+    if block > 1:
+        name = name.replace(".json", f"_b{block}.json")
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
 

@@ -31,10 +31,14 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-# the default synthetic capture plan (widened in round 4: two distances +
-# four elevation rings; see build_db comments and conf/training.ork)
+# the default synthetic capture plan (widened in round 4: a second far
+# distance ring; see build_db comments and conf/training.ork).  The 15-deg
+# elevation ring was measured OUT of the default (STRESS_POSE_a192 vs the
+# td-only study): its extra rows cost ~1 placement/bin at 1.5-2.0 m and
+# ~7% headline FPS while buying only median-error polish at 75-deg tilt,
+# where recall is descriptor-bound at 0.667 for cv2 ORB too.
 DEFAULT_TRAIN_DIST = "0.8,1.6"
-DEFAULT_TRAIN_ELEV = "85,60,35,15"
+DEFAULT_TRAIN_ELEV = "85,60,35"
 
 
 def wait_for_devices(window: Optional[float] = None, delay: float = 20.0):

@@ -32,13 +32,16 @@ def log(*args):
 
 
 # the default synthetic capture plan (widened in round 4: a second far
-# distance ring; see build_db comments and conf/training.ork).  The 15-deg
-# elevation ring was measured OUT of the default (STRESS_POSE_a192 vs the
-# td-only study): its extra rows cost ~1 placement/bin at 1.5-2.0 m and
-# ~7% headline FPS while buying only median-error polish at 75-deg tilt,
-# where recall is descriptor-bound at 0.667 for cv2 ORB too.
+# distance ring + a low elevation ring) and the default load-time model
+# recompression.  The widened plan alone diluted weak-texture margins
+# (newdef-100: obj021 missed, range bins -1 placement vs the distance-only
+# study) — mild recompression (hamming<=16 AND 3D<=5mm collapses the
+# near-duplicate multi-ring rows) recovers recall 1.000 AND +3 FPS at the
+# headline (SWEEP_R4C newdef-rc16x5: 45.6 FPS / 1.000 vs 42.3 / 0.958
+# uncompressed), so the pair ships as the default.
 DEFAULT_TRAIN_DIST = "0.8,1.6"
-DEFAULT_TRAIN_ELEV = "85,60,35"
+DEFAULT_TRAIN_ELEV = "85,60,35,15"
+DEFAULT_RECOMPRESS = "16x5"
 
 
 def wait_for_devices(window: Optional[float] = None, delay: float = 20.0):
@@ -324,8 +327,8 @@ def _recompress(models):
     first row. A/Bs stronger DB compression (the matcher + tier-1 costs are
     linear in rows) without retraining the cached DB; dedup is per-model and
     order-preserving, so a second pass composes with the train-time one."""
-    spec = os.environ.get("BENCH_RECOMPRESS", "")
-    if not spec:
+    spec = os.environ.get("BENCH_RECOMPRESS", DEFAULT_RECOMPRESS)
+    if not spec or spec.lower() in ("off", "none", "0"):
         return models
     if models and models[0].descriptors.dtype != np.uint8:
         log("recompress skipped: Hamming dedup applies to binary "

@@ -4,7 +4,8 @@
 Mirrors the BASELINE.md north star: >= 30 FPS 640x480 RGB-D detection against
 a 100-object database on one TPU chip. The DB is built honestly: 100 DISTINCT
 synthetic textured objects, each trained through the actual training pipeline
-(12-view x 2-elevation turntable captures), ~1M descriptors total — so both
+(12-view multi-ring turntable captures at two distances), ~2M served
+descriptors after load-time recompression — so both
 the matcher and the geometry stage see realistic descriptor statistics.
 Detection quality is measured as recall@2cm over scenes that cycle through
 the whole object set (BASELINE.md tracked metric).

@@ -585,15 +585,26 @@ class FusedDetector:
         if cfg.coarse_stride > 0 and models:
             c_reserve = -(-cfg.reserve_rows // cfg.coarse_stride)
             sub = subsample_models(models, cfg.coarse_stride)
+            # chunk the coarse DB to the SUBSAMPLED segment length: the
+            # full-DB chunk (4096, tuned for 16k+-row segments) pads every
+            # ~rows/stride-row coarse segment up to 4096, which made the
+            # coarse sweep cost stride-INDEPENDENT (measured: stride 8 ==
+            # stride 16 FPS at 1000 objects; PROFILE_FRONTIER.json shows
+            # the padded coarse select as the slowest serving stage)
+            med_rows = int(np.median([max(m.n_points, 1) for m in sub]))
+            c_chunk = next((c for c in (512, 1024, 2048, 4096)
+                            if c >= med_rows), 4096)
             if cfg.feature == "SIFT":
                 from tod_tpu.ops.pallas.segmented_l2 import (
                     max_chunks_per_object_f, object_top1_l2_gathered,
                     pack_segmented_l2)
-                self.cdb = pack_segmented_l2(sub, reserve_rows=c_reserve)
+                self.cdb = pack_segmented_l2(sub, db_chunk=c_chunk,
+                                             reserve_rows=c_reserve)
                 gathered = object_top1_l2_gathered
                 max_chunks = max_chunks_per_object_f(self.sdb)
             else:
-                self.cdb = pack_segmented(sub, reserve_rows=c_reserve)
+                self.cdb = pack_segmented(sub, db_chunk=c_chunk,
+                                          reserve_rows=c_reserve)
                 gathered = object_top1_gathered
                 max_chunks = max_chunks_per_object(self.sdb)
             # a larger-than-needed static grid is correct (padding steps

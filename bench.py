@@ -453,6 +453,11 @@ def build_config(n_features: int):
         track_width=int(os.environ.get("BENCH_TRACK", "0")),
         explore_width=int(os.environ.get("BENCH_EXPLORE", "0")),
         track_ttl=int(os.environ.get("BENCH_TTL", "2")),
+        # BENCH_TRACK_CONF: latch gate — only accepts with >= this many
+        # unique inliers refresh the tracked/seed state (junk accepts at
+        # 8-16 inliers must not fill the tracked slab; measured true weak
+        # accepts sit at 22-28, tools/diag_explore021.py)
+        track_min_confidence=float(os.environ.get("BENCH_TRACK_CONF", "16")),
         activation=ActivationConfig(
             m_cap=int(os.environ.get("BENCH_ACT_CAP", "192")),
             # tier-1 128 hypotheses suffice under the prescreen (SWEEP_R4A
@@ -469,7 +474,12 @@ def build_config(n_features: int):
             prescreen=int(os.environ.get(
                 "BENCH_PRESCREEN",
                 str(max(32, int(os.environ.get("BENCH_OBJECTS", "100"))
-                        // 12))))),
+                        // 12)))),
+            # BENCH_ACT_RESERVE: tier-2 slots guaranteed to score-qualified
+            # non-tracked candidates when tracked force-active slots exist
+            # (a junk-latch-filled slab displaced obj021 from tier-2 at the
+            # 1000-object frontier; 0 restores the saturating cut)
+            active_reserve=int(os.environ.get("BENCH_ACT_RESERVE", "4"))),
         guess=GuessConfig(
             # tier-2 budgets re-sized under the P=32 prescreen (SWEEP_R4A
             # combo point: 768/192 -> 512/128 holds recall 1.000 and gains

@@ -76,6 +76,58 @@ def test_update_age_resets_on_acceptance_and_saturates():
     assert again.tolist() == [0, 6, AGE_NEVER + 1]
 
 
+def test_update_age_latch_gate_filters_low_confidence_accepts():
+    """track_min_confidence semantics: only accepted instances at or above
+    the gate refresh the latch — an 8-16-inlier junk accept (the ungated
+    reference contract's dominant output, bench precision 0.087) must not
+    occupy a tracked slot. Gate 0 keeps every accepted pose latching."""
+    age = jnp.asarray([3, 3, 3], jnp.int32)
+    det = ObjectDetections(
+        R=jnp.zeros((3, 2, 3, 3)), T=jnp.zeros((3, 2, 3)),
+        n_inliers=jnp.asarray([[10, 0], [26, 9], [0, 0]], jnp.int32),
+        accepted=jnp.asarray([[True, False], [True, True],
+                              [False, False]]))
+    got = np.asarray(update_age(age, det, min_confidence=16.0))
+    assert got.tolist() == [4, 0, 4]        # junk-only object 0 ages out
+    ungated = np.asarray(update_age(age, det))
+    assert ungated.tolist() == [0, 0, 4]    # gate 0 = previous behavior
+
+
+def test_activation_cut_reserve_admits_unforced_discovery():
+    """activation_cut: a cut saturated by forced (tracked) slots must still
+    admit the top score-qualified unforced candidates (active_reserve) —
+    the obj021 frontier failure. Weakest-scored forced slots yield first,
+    and unforced boosts respect the min_score floor."""
+    from tod_tpu.geometry.detection import activation_cut
+
+    act = ActivationConfig(min_score=4, active_reserve=1)
+    # 6 objects: 0-3 forced (tracked latches, scores 9,2,7,5),
+    # 4 unforced score 8 (the fresh discovery), 5 unforced score 3 (junk
+    # below min_score)
+    scores = jnp.asarray([9, 2, 7, 5, 8, 3], jnp.float32)
+    forced = jnp.asarray([True, True, True, True, False, False])
+    active = np.asarray(activation_cut(scores, forced, 4, act)).tolist()
+    assert 4 in active, active          # reserve admits the discovery
+    assert 1 not in active, active      # weakest forced yields
+    assert 5 not in active, active      # junk stays below min_score
+    assert set(active) == {0, 2, 3, 4}
+
+    # without a reserve, forced slots saturate the cut (the old behavior)
+    act0 = ActivationConfig(min_score=4, active_reserve=0)
+    active0 = np.asarray(activation_cut(scores, forced, 4, act0)).tolist()
+    assert set(active0) == {0, 1, 2, 3}
+
+    # forced slots bypass min_score (latch persistence rides tier-2)
+    scores2 = jnp.asarray([0, 9], jnp.float32)
+    forced2 = jnp.asarray([True, False])
+    active2 = np.asarray(activation_cut(scores2, forced2, 2, act)).tolist()
+    assert set(active2) == {0, 1}
+
+    # no forced mask: plain top-k with the min_score floor (stateless path)
+    active3 = np.asarray(activation_cut(scores, None, 4, act)).tolist()
+    assert set(active3) == {0, 4, 2, 3}
+
+
 def test_track_width_requires_coarse_and_slack():
     with pytest.raises(ValueError, match="coarse_stride"):
         FusedDetector([], FusedDetectorConfig(pipeline="segmented",

@@ -131,6 +131,18 @@ class SegmentedDetector(Cell):
         p.declare("track_ttl",
                   "Frames a tracked object survives without re-detection "
                   "before its reserved slot is released.", default=2)
+        p.declare("track_min_confidence",
+                  "Latch gate: only accepted poses with at least this many "
+                  "unique inliers refresh the tracked/seed state. Keeps "
+                  "the ~8-16-inlier junk accepts of the ungated reference "
+                  "contract out of the tracked slab (slot churn / "
+                  "activation-cut saturation). 0 = every accepted pose "
+                  "latches.", default=16)
+        p.declare("activation_reserve",
+                  "Tier-2 slots guaranteed to score-qualified non-tracked "
+                  "candidates when tracked (force-active) slots exist, so "
+                  "a full tracked slab can never displace a fresh "
+                  "discovery from tier-2.", default=4)
         p.declare("explore_width",
                   "Coarse->fine slab slots cycling deterministically "
                   "through the whole catalog (bounded-latency discovery): "
@@ -207,6 +219,8 @@ class SegmentedDetector(Cell):
             fine_width=int(self.params["fine_width"]),
             track_width=int(self.params["track_width"]),
             track_ttl=int(self.params["track_ttl"]),
+            track_min_confidence=float(
+                self.params["track_min_confidence"]),
             explore_width=int(self.params["explore_width"]),
             catalog_capacity=int(self.params["catalog_capacity"]),
             reserve_rows=int(self.params["reserve_rows"]),
@@ -214,7 +228,8 @@ class SegmentedDetector(Cell):
                 m_cap=int(self.params["activation_m_cap"]),
                 n_hypotheses=int(self.params["activation_hypotheses"]),
                 min_score=int(self.params["activation_min_score"]),
-                prescreen=int(self.params["activation_prescreen"])),
+                prescreen=int(self.params["activation_prescreen"]),
+                active_reserve=int(self.params["activation_reserve"])),
             guess=GuessConfig(
                 ransac=RansacConfig(
                     n_hypotheses=_clamped_hypotheses(

@@ -232,11 +232,26 @@ class ActivationConfig:
     # 0 = screen everything (tier-1 on all objects).
     prescreen: int = 0
     prescreen_top: int = 64   # margins summed per object by prescreen_scores
+    # Tier-2 slots guaranteed to score-qualified NON-forced candidates when
+    # ``force_active`` slots exist. Without it, ``max_active_objects``
+    # latched (force_active) objects saturate the activation cut and a
+    # newly-explored object can NEVER reach tier-2 no matter its tier-1
+    # score — the measured obj021 latch miss at the 1000-object frontier
+    # (tools/diag_explore021.py: activates 10/10 against an empty tracked
+    # slab, displaced by the junk-latch-filled production slab). The
+    # reserve keeps the slab width (and tier-2 cost) UNCHANGED: when
+    # forced + reserved exceed the cut, the weakest-scored forced slots
+    # yield (junk latches score lowest, so they yield first).
+    active_reserve: int = 4
 
 
 MARGIN_ALPHA = 0.75     # cap priority = dist - alpha * cross-object level
                         # (alpha sweep in tools/diag_margin2.py: +47% correct
                         # matches inside a 256 cap at 0.75)
+
+ACTIVE_BOOST = 1e6      # additive activation boost for forced/reserved
+                        # slots: above any tier-1 score (inlier counts,
+                        # <= m_cap) while keeping the score as tie-break
 
 
 def build_object_stores(dist: jax.Array, rows: jax.Array, q_valid: jax.Array,
@@ -315,6 +330,38 @@ def prescreen_scores(dist: jax.Array, level: jax.Array, q_valid: jax.Array,
     return best.sum(-1)
 
 
+def activation_cut(scores: jax.Array, force_active: Optional[jax.Array],
+                   n_active: int, act: ActivationConfig) -> jax.Array:
+    """The tier-2 activation cut: top ``n_active`` object indices by tier-1
+    score (-1 = inactive), with forced (tracked) slots and the non-forced
+    reserve.
+
+    Forced slots are boosted ABOVE every unforced score but keep their own
+    score as a tie-break, so when boosted slots exceed the cut the
+    weakest-scored forced ones yield first (junk latches score lowest).
+    ``act.active_reserve`` additionally boosts the top-R score-QUALIFIED
+    unforced candidates: a full tracked slab can then never displace a
+    fresh discovery from tier-2 (the measured obj021 frontier miss —
+    tools/diag_explore021.py). Unforced boosts keep the ``min_score``
+    floor: the reserve admits evidence, not junk."""
+    n_objects = scores.shape[0]
+    if force_active is None:
+        cut = scores
+    else:
+        boost = force_active
+        r = min(act.active_reserve, n_active)
+        if r > 0:
+            nf = jnp.where(force_active, -jnp.inf,
+                           scores.astype(jnp.float32))
+            _, top_nf = jax.lax.top_k(nf, r)
+            qual = (jnp.zeros(n_objects, bool).at[top_nf].set(True)
+                    & (scores >= act.min_score) & ~force_active)
+            boost = force_active | qual
+        cut = jnp.where(boost, scores + jnp.float32(ACTIVE_BOOST), scores)
+    top_scores, active = jax.lax.top_k(cut, n_active)
+    return jnp.where(top_scores >= act.min_score, active, -1)
+
+
 def detect_frame_segmented(
         key: jax.Array, dist: jax.Array, rows: jax.Array,
         q_valid: jax.Array, query_pts: jax.Array, query_xy: jax.Array,
@@ -387,10 +434,7 @@ def detect_frame_segmented(
 
     # ---- tier 2: full certified RANSAC on the activated set ----------------
     n_active = min(cfg.max_active_objects, n_objects)
-    cut = (scores if force_active is None
-           else jnp.where(force_active, jnp.inf, scores))
-    top_scores, active = jax.lax.top_k(cut, n_active)
-    active = jnp.where(top_scores >= act.min_score, active, -1)
+    active = activation_cut(scores, force_active, n_active, act)
 
     stores = build_object_stores(dist, rows, q_valid, query_pts, query_xy,
                                  points, obj_start, active,
@@ -490,10 +534,22 @@ def reserved_force_mask(sel: jax.Array, *reserved) -> jax.Array:
     return (sel[:, None] == ids[None, :]).any(axis=1)
 
 
-def update_age(age: jax.Array, det: ObjectDetections) -> jax.Array:
+def update_age(age: jax.Array, det: ObjectDetections,
+               min_confidence: float = 0.0) -> jax.Array:
     """Advance the per-object frames-since-detected counter by one frame:
-    0 where ``det`` accepted an instance, +1 (saturating) elsewhere."""
-    acc = det.accepted.any(axis=1)
+    0 where ``det`` accepted an instance, +1 (saturating) elsewhere.
+
+    ``min_confidence`` gates the LATCH (not acceptance): only instances
+    with at least that many unique inliers refresh the age. With the
+    serving default of 0 every accepted pose latches — including the
+    ~8-16-inlier junk accepts the ungated reference contract emits
+    (bench precision 0.087 ungated), which fill the tracked slab and
+    feed the force_active cut. A latch gate keeps tracked slots for
+    confident finds; ``track_min_confidence`` in the detector config."""
+    acc = det.accepted
+    if min_confidence > 0:
+        acc = acc & (det.n_inliers >= min_confidence)
+    acc = acc.any(axis=1)
     return jnp.where(acc, 0, jnp.minimum(age, AGE_NEVER) + 1)
 
 

@@ -81,6 +81,8 @@ class TodDetector(BlackBox):
                              Forward("fine_width"),
                              Forward("track_width"),
                              Forward("track_ttl"),
+                             Forward("track_min_confidence"),
+                             Forward("activation_reserve"),
                              Forward("explore_width"),
                              Forward("catalog_capacity"),
                              Forward("reserve_rows"),

@@ -117,6 +117,18 @@ class FusedDetectorConfig:
     # and the sharded serving step ignore it (stateless programs).
     track_width: int = 0
     track_ttl: int = 2
+    # Latch gate: only accepted instances with at least this many unique
+    # inliers refresh the tracked age / seed state (update_age). 0 = every
+    # accepted pose latches — which at the ungated reference contract
+    # includes the ~8-16-inlier junk accepts (bench precision 0.087), so
+    # the tracked slab fills with junk whose force_active slots saturated
+    # the activation cut (the obj021 frontier miss) and feed the measured
+    # 400-object soak flicker. Acceptance/reporting is unchanged; this
+    # only decides what the temporal machinery holds on to. Default 16:
+    # below every measured weak-texture TRUE accept (obj021 26-28, obj006
+    # 22-27 unique inliers) and above the junk-secondary band (8-10,
+    # tools/diag_explore021.py conf rows).
+    track_min_confidence: float = 16.0
     # Exploration slots (coarse->fine streaming only): reserve
     # ``explore_width`` fine-slab slots that cycle deterministically through
     # the catalog — frame t fine-matches objects (t*E + i) mod O besides the
@@ -475,7 +487,7 @@ def _stage_geometry_gathered(key, xy, qp, ok, dist_qc, rows_qc, sel,
 
 
 _jit_tracked = jax.jit(tracked_from_age, static_argnums=(1, 2))
-_jit_age = jax.jit(update_age)
+_jit_age = jax.jit(update_age, static_argnums=(2,))
 
 
 _jit_seeds = functools.partial(jax.jit, static_argnums=(3,))(
@@ -723,7 +735,8 @@ class FusedDetector:
                          self.sdb.obj_start, self.sdb.spans, force,
                          force_act, seeds)
                 if track:
-                    self._age = _jit_age(self._age, det)
+                    self._age = _jit_age(self._age, det,
+                                         self.config.track_min_confidence)
                     self._last_R, self._last_T = _jit_update_pose(
                         self._last_R, self._last_T, det)
                 return None, det

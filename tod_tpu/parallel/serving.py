@@ -54,9 +54,9 @@ def _tracked_rows_needy(age, last_sel, width, ttl):
                                                                   last_sel)
 
 
-@jax.jit
-def _age_rows(age, det):
-    return jax.vmap(update_age)(age, det)
+@functools.partial(jax.jit, static_argnums=(2,))
+def _age_rows(age, det, min_confidence=0.0):
+    return jax.vmap(lambda a, d: update_age(a, d, min_confidence))(age, det)
 
 
 _pose_rows = jax.jit(jax.vmap(fold_best_pose))
@@ -173,7 +173,8 @@ class ShardedServingDetector:
         out = self._fn(*args)
         if track:
             det, self._last_sel = out
-            self._age = _age_rows(self._age, det)
+            self._age = _age_rows(self._age, det,
+                                  getattr(cfg, "track_min_confidence", 0.0))
             self._last_r, self._last_t = _pose_rows(
                 self._last_r, self._last_t, det)
         else:

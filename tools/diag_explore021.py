@@ -103,6 +103,7 @@ def main():
         acc = np.asarray(detn.accepted[target])
         n_acc = int(acc.sum())
         hit = False
+        confs = np.asarray(detn.n_inliers[target])[acc.astype(bool)]
         if n_acc:
             T_np = np.asarray(detn.T[target])[acc.astype(bool)]
             hit = bool((np.linalg.norm(T_np - gt_T, axis=-1) <= 0.02).any())
@@ -110,7 +111,8 @@ def main():
         cut = np.sort(s_np)[-n_active] if len(s_np) >= n_active else 0
         print(f"  key {k}: t1 score {int(s_np[target])} rank {rank} "
               f"(cut {int(cut)}, min {min_score}) "
-              f"activated={activated} accepted={n_acc} hit2cm={hit}",
+              f"activated={activated} accepted={n_acc} "
+              f"conf={confs.tolist()} hit2cm={hit}",
               flush=True)
     print(f"summary: activated {act_hits}/{n_keys}, "
           f"accepted-within-2cm {accept_hits}/{n_keys}", flush=True)

@@ -736,6 +736,42 @@ def main():
     if g_rec is not None:
         log(f"gated headline (min_confidence={gate}, the serving.ork "
             f"default): recall {g_rec:.3f} / precision {g_prec:.3f}")
+    # quality (confidence v2) curve: the fused statistic (inliers weighted
+    # by pose sharpness + inlier-clique depth, models/fused.py
+    # confidence_v2) separates 24+-inlier junk from true poses that the
+    # one-dimensional inlier gate cannot (tools/diag_conf2.py measurement)
+    q_curve = {}
+    q_vals = sorted({round(r.quality) for found, _ in scene_results
+                     for r in found})
+    for th in q_vals[::max(1, len(q_vals) // 16)]:
+        tp = acc = h = 0
+        for found, gt in scene_results:
+            kept = [r for r in found if r.quality >= th]
+            acc += len(kept)
+            for r in kept:
+                if any(oid == r.object_id
+                       and float(np.linalg.norm(r.T - gt_T)) <= 0.02
+                       for oid, _, gt_T in gt):
+                    tp += 1
+            for oid, _, gt_T in gt:
+                if any(r.object_id == oid
+                       and float(np.linalg.norm(r.T - gt_T)) <= 0.02
+                       for r in kept):
+                    h += 1
+        q_curve[th] = (round(h / n_placed, 4),
+                       round(tp / acc, 4) if acc else 1.0)
+    if q_curve:
+        log("quality-gate curve v2 (min_quality: recall, precision): "
+            + ", ".join(f"{t}: {r:.3f}/{p:.3f}"
+                        for t, (r, p) in q_curve.items()))
+        # best v2 operating point: highest precision among gates that keep
+        # recall >= the v1 gated headline's recall
+        floor = g_rec if g_rec is not None else recall
+        cands = [(p, r, t) for t, (r, p) in q_curve.items() if r >= floor]
+        if cands:
+            bp, br, bt = max(cands)
+            log(f"best v2 gate at recall >= {floor:.3f}: min_quality {bt} "
+                f"-> recall {br:.3f} / precision {bp:.3f}")
     log(f"(recall pass incl. compile: {time.time()-t0:.1f}s)")
 
     # batched throughput — OPT-IN (BENCH_BATCH>=2): streaming wins anyway
@@ -864,6 +900,7 @@ def main():
         "recall_at_2cm": round(recall, 4),
         "precision_at_2cm": round(precision, 4),
         "confidence_curve": {str(t): list(v) for t, v in curve.items()},
+        "quality_curve_v2": {str(t): list(v) for t, v in q_curve.items()},
         "latency_ms_p50": round(float(lat_p50), 2),
         "latency_ms_p95": round(float(lat_p95), 2),
         "sync_overhead_ms": round(sync_ms, 2),

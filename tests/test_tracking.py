@@ -68,7 +68,9 @@ def test_update_age_resets_on_acceptance_and_saturates():
         R=jnp.zeros((3, 2, 3, 3)), T=jnp.zeros((3, 2, 3)),
         n_inliers=jnp.zeros((3, 2), jnp.int32),
         accepted=jnp.asarray([[False, True], [False, False],
-                              [False, False]]))
+                              [False, False]]),
+        rms_residual=jnp.zeros((3, 2)),
+        clique_size=jnp.zeros((3, 2), jnp.int32))
     got = np.asarray(update_age(age, det))
     assert got.tolist() == [0, 5, AGE_NEVER + 1]
     # saturation: repeated misses never overflow past AGE_NEVER + 1
@@ -86,7 +88,9 @@ def test_update_age_latch_gate_filters_low_confidence_accepts():
         R=jnp.zeros((3, 2, 3, 3)), T=jnp.zeros((3, 2, 3)),
         n_inliers=jnp.asarray([[10, 0], [26, 9], [0, 0]], jnp.int32),
         accepted=jnp.asarray([[True, False], [True, True],
-                              [False, False]]))
+                              [False, False]]),
+        rms_residual=jnp.zeros((3, 2)),
+        clique_size=jnp.zeros((3, 2), jnp.int32))
     got = np.asarray(update_age(age, det, min_confidence=16.0))
     assert got.tolist() == [4, 0, 4]        # junk-only object 0 ages out
     ungated = np.asarray(update_age(age, det))

@@ -24,6 +24,12 @@ class PoseResult:
     object_id: str
     confidence: float = 0.0       # unique-inlier count (the reference's score)
     db_params: Optional[dict] = None
+    rms_residual: float = 0.0     # RMS 3D residual (m) of the pose over its
+                                  # inliers (serving pipeline; 0 = n/a)
+    clique_size: int = 0          # greedy inlier-clique statistic (serving)
+    quality: float = 0.0          # fused serving confidence (confidence_v2:
+                                  # inliers + residual + clique; gate with
+                                  # min_quality for high-precision serving)
 
     def set_R(self, R):  # reference-style setters
         self.R = np.asarray(R, np.float32).reshape(3, 3)

@@ -199,6 +199,10 @@ def scatter_detections(det: ObjectDetections, active: jax.Array,
             jnp.where(acc, det.n_inliers, 0), mode="drop"),
         accepted=jnp.zeros((n_objects, n_inst), bool).at[safe].set(
             acc, mode="drop"),
+        rms_residual=jnp.zeros((n_objects, n_inst)).at[safe].set(
+            jnp.where(acc, det.rms_residual, 0.0), mode="drop"),
+        clique_size=jnp.zeros((n_objects, n_inst), jnp.int32).at[safe].set(
+            jnp.where(acc, det.clique_size, 0), mode="drop"),
     )
 
 
@@ -446,9 +450,7 @@ def detect_frame_segmented(
         act_seeds = SeedPose(R=seeds.R[a_safe], T=seeds.T[a_safe],
                              ok=seeds.ok[a_safe] & (active >= 0))
     det = detect_objects(key_det, stores, act_spans, cfg, act_seeds)
-    det = ObjectDetections(
-        R=det.R, T=det.T, n_inliers=det.n_inliers,
-        accepted=det.accepted & (active >= 0)[:, None])
+    det = det._replace(accepted=det.accepted & (active >= 0)[:, None])
     # active is a permutation/subset of object ids (with -1 holes);
     # scatter handles both the subset and the full-permutation case
     return scores, scatter_detections(det, active, n_objects)

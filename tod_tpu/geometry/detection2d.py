@@ -230,7 +230,12 @@ def detect_object_instances_2d(key, m: ObjectMatches, K: jax.Array,
 
     keys = jax.random.split(key, cfg.max_instances)
     _, (rs, ts, counts, accepted) = jax.lax.scan(step, m.valid, keys)
-    return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted)
+    # the 2D path carries no 3D residual / sample-graph statistics (the
+    # reference's 2D branch is an empty TODO, GuessGenerator.cpp:147-152)
+    zero_f = jnp.zeros_like(counts, jnp.float32)
+    return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted,
+                            rms_residual=zero_f,
+                            clique_size=jnp.zeros_like(counts))
 
 
 def detect_frame_2d(key, obj_idx: jax.Array, dist: jax.Array,

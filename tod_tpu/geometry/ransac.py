@@ -96,6 +96,15 @@ class RansacRound(NamedTuple):
     inliers: jax.Array    # (M,) bool — final inlier matches
     n_unique: jax.Array   # () int32 — unique query keypoints among inliers
     found: jax.Array      # () bool
+    rms_residual: jax.Array   # () f32 — RMS 3D residual (m) over inliers
+    clique_size: jax.Array    # () int32 — greedy sample-adjacency clique
+                              # over the final inliers (capped at
+                              # CLIQUE_STAT_STEPS)
+
+
+CLIQUE_STAT_STEPS = 16  # growth budget for the per-pose clique statistic
+                        # (the confidence signal, not the acceptance
+                        # certificate — that stays clique > minimal)
 
 
 class SeedPose(NamedTuple):
@@ -370,12 +379,29 @@ def ransac_round(key, matches: ObjectMatches, graphs: AdjacencyGraphs,
 
     n_unique = count_unique_query_indices(matches.query_idx, inl_f & found)
     r_out, t_out = invert_pose(r_f, t_f)
+
+    # --- per-pose quality statistics (confidence v2 components) -------------
+    # RMS 3D residual of the final pose over its inlier set, and a greedy
+    # sample-adjacency clique grown over the final inliers. Junk accepts
+    # (refinement-grown sub-minimal draws) sit near the sigma residual
+    # ceiling with shallow cliques; true poses sit at sub-mm residuals with
+    # deep cliques — fused host-side into the serving confidence
+    # (models/fused.py confidence_v2, measured in tools/diag_conf2.py).
+    inl_fin = inl_f & found
+    res_fin = ((apply_rt(r_f, t_f, q) - t) ** 2).sum(-1)
+    n_fin = inl_fin.sum()
+    rms = jnp.sqrt(jnp.where(inl_fin, res_fin, 0.0).sum()
+                   / jnp.maximum(n_fin, 1))
+    csize = _greedy_clique_size(graphs.sample, inl_fin[None],
+                                CLIQUE_STAT_STEPS)[0]
     return RansacRound(
         R=jnp.where(found, r_out, jnp.eye(3)),
         T=jnp.where(found, t_out, jnp.zeros(3)),
-        inliers=inl_f & found,
+        inliers=inl_fin,
         n_unique=jnp.where(found, n_unique, 0).astype(jnp.int32),
-        found=found)
+        found=found,
+        rms_residual=jnp.where(found, rms, 0.0).astype(jnp.float32),
+        clique_size=jnp.where(found, csize, 0).astype(jnp.int32))
 
 
 class ObjectDetections(NamedTuple):
@@ -385,6 +411,10 @@ class ObjectDetections(NamedTuple):
     T: jax.Array         # (I,3)
     n_inliers: jax.Array  # (I,) int32 unique-keypoint inlier counts
     accepted: jax.Array  # (I,) bool
+    rms_residual: jax.Array  # (I,) f32 — RMS 3D residual (m) of the pose
+                             # over its inliers (0 where not found)
+    clique_size: jax.Array   # (I,) int32 — greedy inlier clique statistic
+                             # (capped at CLIQUE_STAT_STEPS; 0 = n/a)
 
 
 def detect_object_instances(key, matches: ObjectMatches,
@@ -424,7 +454,8 @@ def detect_object_instances(key, matches: ObjectMatches,
                 invalidate_query_indices(valid, graphs.sample,
                                          matches.query_idx, round_.inliers),
                 valid)
-            out = (round_.R, round_.T, round_.n_unique, accept)
+            out = (round_.R, round_.T, round_.n_unique, accept,
+                   round_.rms_residual, round_.clique_size)
             return valid_next, out
 
         return step
@@ -436,10 +467,11 @@ def detect_object_instances(key, matches: ObjectMatches,
         valid1, out1 = make_step(cfg)(graphs.valid, keys[0])
         cont_cfg = dataclasses.replace(cfg, n_hypotheses=cont)
         _, out_rest = jax.lax.scan(make_step(cont_cfg), valid1, keys[1:])
-        rs, ts, counts, accepted = (
+        rs, ts, counts, accepted, rms, csize = (
             jnp.concatenate([a[None], b])
             for a, b in zip(out1, out_rest))
     else:
-        _, (rs, ts, counts, accepted) = jax.lax.scan(
+        _, (rs, ts, counts, accepted, rms, csize) = jax.lax.scan(
             make_step(cfg), graphs.valid, keys)
-    return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted)
+    return ObjectDetections(R=rs, T=ts, n_inliers=counts, accepted=accepted,
+                            rms_residual=rms, clique_size=csize)

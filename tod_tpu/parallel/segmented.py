@@ -465,8 +465,7 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
             det = jax.lax.map(
                 per_object, operands,
                 batch_size=min(guess.object_batch, max(per_dev, 1)))
-            det = ObjectDetections(
-                R=det.R, T=det.T, n_inliers=det.n_inliers,
+            det = det._replace(
                 accepted=det.accepted & (my_active >= 0)[:, None])
             det_all = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, "db", axis=0, tiled=True),
@@ -511,8 +510,8 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
         + ((P("data"),) if n_track else ()) \
         + ((P("data"),) if n_explore else ()) \
         + ((P("data"), P("data"), P("data")) if n_track else ())
-    out_tree = (ObjectDetections(0, 0, 0, 0), 0) if n_track \
-        else ObjectDetections(0, 0, 0, 0)
+    out_tree = (ObjectDetections(0, 0, 0, 0, 0, 0), 0) if n_track \
+        else ObjectDetections(0, 0, 0, 0, 0, 0)
     fn = shard_map(
         local, mesh=mesh, in_specs=in_specs,
         out_specs=jax.tree.map(lambda _: P("data"), out_tree))

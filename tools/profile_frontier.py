@@ -1,6 +1,19 @@
 """Per-stage timing at an arbitrary BENCH_* serving config (default: the
-1000-object frontier point), hard-synced, with the tunnel-RTT floor
-measured and subtracted in the report.
+1000-object frontier point) via DISPATCH TRAINS — the tunnel-proof method.
+
+The round-4 profiler measured each stage as (one synced dispatch) - (RTT
+floor) and published NEGATIVE stage times: the tunnel RTT varies by
++/-5-15 ms between syncs, far above the millisecond stages being measured
+(memory/axon notes). This version times a train of K identical stage
+dispatches followed by ONE hard sync, at two K values: the device
+executes dispatches serially, so
+
+    t(K) = K * stage_ms + overhead(RTT, dispatch)
+
+and stage_ms = (t(K2) - t(K1)) / (K2 - K1) cancels the overhead EXACTLY
+instead of estimating it. Stage times are non-negative by construction and
+are cross-checked against a whole-frame detect_raw train (stages must sum
+to the frame within ~15%; the report flags it if they do not).
 
 Streaming FPS is bounded by the SLOWEST stage (stage dispatches pipeline
 across frames), so the optimization target at any operating point is the
@@ -23,10 +36,44 @@ sys.path.insert(0, REPO)
 
 import bench  # noqa: E402
 
+K_SHORT = int(os.environ.get("PROFILE_K1", "4"))
+K_LONG = int(os.environ.get("PROFILE_K2", "36"))
+N_REP = int(os.environ.get("PROFILE_REPS", "3"))
+
 
 def sync(x):
-    return float(np.asarray(x.ravel()[0] if hasattr(x, "ravel")
-                            else x))
+    return float(np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x))
+
+
+def _last_leaf(out):
+    first = out[0] if isinstance(out, tuple) else out
+    if hasattr(first, "n_inliers"):
+        first = first.n_inliers
+    return first
+
+
+def train_time(fn, *args, k):
+    """Wall time of k dispatches + one hard sync (median of N_REP)."""
+    ts = []
+    for _ in range(N_REP):
+        t0 = time.time()
+        out = None
+        for _i in range(k):
+            out = fn(*args)
+        sync(_last_leaf(out))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def time_stage(tag, fn, *args):
+    out = fn(*args)          # compile
+    sync(_last_leaf(out))
+    t1 = train_time(fn, *args, k=K_SHORT)
+    t2 = train_time(fn, *args, k=K_LONG)
+    ms = 1e3 * (t2 - t1) / (K_LONG - K_SHORT)
+    bench.log(f"  {tag}: {ms:.2f} ms/dispatch "
+              f"(t{K_SHORT}={t1*1e3:.0f} ms, t{K_LONG}={t2*1e3:.0f} ms)")
+    return ms, out
 
 
 def main():
@@ -46,42 +93,12 @@ def main():
     gray, depth_j, K_j = det.prepare_frame(image, depth, DEFAULT_K)
     key = jax.random.PRNGKey(0)
 
-    # RTT floor: trivial jitted op + scalar download, fresh value each rep
-    tiny = jax.jit(lambda i: (depth_j.astype(jnp.int32).sum() + i))
-    sync(tiny(0))
-    rtts = []
-    for i in range(12):
-        t0 = time.time()
-        sync(tiny(i + 1))
-        rtts.append(time.time() - t0)
-    rtt = 1e3 * float(np.median(rtts))
-
-    def time_stage(tag, fn, *args, n_rep=8):
-        out = fn(*args)
-        first = out[0] if isinstance(out, tuple) else out
-        if hasattr(first, "n_inliers"):
-            first = first.n_inliers
-        sync(first)
-        ts = []
-        for _ in range(n_rep):
-            t0 = time.time()
-            out = fn(*args)
-            f2 = out[0] if isinstance(out, tuple) else out
-            if hasattr(f2, "n_inliers"):
-                f2 = f2.n_inliers
-            sync(f2)
-            ts.append(time.time() - t0)
-        ms = 1e3 * float(np.median(ts))
-        bench.log(f"  {tag}: {ms:.1f} ms synced (~{max(ms - rtt, 0.0):.1f} "
-                  "ms on-chip)")
-        return ms - rtt, out
-
-    bench.log(f"RTT floor: {rtt:.1f} ms; config: coarse {cfg.coarse_stride} "
-              f"fine {cfg.fine_width} T {cfg.track_width} E "
-              f"{cfg.explore_width} P {cfg.activation.prescreen} act_hyp "
+    bench.log(f"config: coarse {cfg.coarse_stride} fine {cfg.fine_width} "
+              f"T {cfg.track_width} E {cfg.explore_width} "
+              f"P {cfg.activation.prescreen} act_hyp "
               f"{cfg.activation.n_hypotheses} hyp "
               f"{cfg.guess.ransac.n_hypotheses} active "
-              f"{cfg.guess.max_active_objects}")
+              f"{cfg.guess.max_active_objects}; trains K={K_SHORT}/{K_LONG}")
     s1, _s2, _s3 = det._stages
     stages = {}
     stages["features"], (xy, qp, dsc, ok) = time_stage(
@@ -90,8 +107,7 @@ def main():
         c1, c2, c3 = det._coarse
         if cfg.track_width or cfg.explore_width:
             trk = jnp.full((cfg.track_width,), -1, jnp.int32)
-            exp = jnp.asarray(
-                np.arange(cfg.explore_width, dtype=np.int32))
+            exp = jnp.asarray(np.arange(cfg.explore_width, dtype=np.int32))
             stages["coarse"], (sel, force, fact) = time_stage(
                 "coarse select+slots", c1, dsc, ok, det.cdb, trk, exp)
         else:
@@ -105,15 +121,38 @@ def main():
             "geometry t1+t2", c3, key, xy, qp, ok, dist, rows, sel,
             det.sdb.points, det.sdb.obj_start, det.sdb.spans, force, fact,
             None)
+    else:
+        _s1, s2, s3 = det._stages
+        stages["match"], (dist, rows) = time_stage(
+            "segmented match", s2, dsc, det.sdb)
+        stages["geometry"], _ = time_stage(
+            "geometry t1+t2", s3, key, xy, qp, ok, dist, rows,
+            det.sdb.points, det.sdb.obj_start, det.sdb.spans)
+
+    # whole-frame cross-check: a train of full detect_raw frames (includes
+    # the host-side streaming state machinery the stages above skip)
+    def frame():
+        _, d = det.detect_raw(gray, depth_j, K_j)
+        return d
+
+    frame_ms, _ = time_stage("whole frame (detect_raw)", frame)
+    total = sum(stages.values())
+    gap_pct = 100.0 * (frame_ms - total) / max(frame_ms, 1e-9)
+    bench.log(f"stage sum {total:.2f} ms vs frame {frame_ms:.2f} ms "
+              f"(gap {gap_pct:+.1f}% — host state/dispatch overhead)")
     worst = max(stages, key=stages.get)
-    bench.log(f"slowest stage: {worst} ({stages[worst]:.1f} ms on-chip) "
+    bench.log(f"slowest stage: {worst} ({stages[worst]:.2f} ms) "
               f"-> streaming bound ~{1e3 / max(stages[worst], 1e-3):.1f} "
               "FPS")
     out_path = os.path.join(REPO, "PROFILE_FRONTIER.json")
     with open(out_path, "w") as f:
-        json.dump({"rtt_ms": rtt,
-                   "stages_ms_onchip": {k: round(v, 2)
-                                        for k, v in stages.items()},
+        json.dump({"method": f"dispatch trains K={K_SHORT}/{K_LONG}, "
+                             "median of "
+                             f"{N_REP}; overhead cancels in the difference",
+                   "stages_ms": {k: round(v, 2) for k, v in stages.items()},
+                   "frame_ms": round(frame_ms, 2),
+                   "stage_sum_ms": round(total, 2),
+                   "sum_vs_frame_gap_pct": round(gap_pct, 1),
                    "objects": n}, f, indent=1)
     bench.log(f"wrote {out_path}")
 

@@ -77,6 +77,7 @@ class TodDetector(BlackBox):
                              Forward("tight_final_fit"),
                              Forward("bucket_grid"),
                              Forward("min_confidence"),
+                             Forward("min_quality"),
                              Forward("coarse_stride"),
                              Forward("fine_width"),
                              Forward("track_width"),

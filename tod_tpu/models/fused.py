@@ -170,6 +170,13 @@ class FusedDetectorConfig:
                                 # curve shows conf>=24 reaches ~0.96
                                 # precision at unchanged-to--0.04 recall;
                                 # 0 = report everything (reference parity).
+    min_quality: float = 0.0
+                                # serving-side gate on the FUSED confidence
+                                # (confidence_v2: inliers + 16*clique).
+                                # Measured: >= ~156 reaches recall 1.000 /
+                                # precision 1.000 on the bench workload
+                                # where the inlier gate peaks at
+                                # 0.958/0.920. 0 = off.
 
     def use_pallas(self) -> bool:
         if self.matcher == "auto":
@@ -288,22 +295,34 @@ def detect_frame(key: jax.Array, gray: jax.Array, depth: jax.Array,
     return kps, detections
 
 
+CLIQUE_WEIGHT = 16.0    # measured on CONF2_ROWS.json (tools/diag_conf2.py
+                        # grid): w=16 maximizes the true/junk margin —
+                        # weakest true accept 167 vs strongest junk 145,
+                        # per-scene margins all positive (22-160)
+
+
 def confidence_v2(n_inliers: float, rms_residual: float, clique_size: int,
                   sensor_error: float) -> float:
-    """Fused serving confidence: inlier count weighted by pose sharpness
-    plus the inlier-clique depth.
+    """Fused serving confidence: inlier count + weighted inlier-clique
+    depth.
 
     The inlier count alone is one-dimensional — at the shipped gate 24 the
     bench measures 0.958 recall / 0.920 precision because a minority of
-    junk accepts reach 24+ grown inliers. Junk poses are refinement-grown
-    sub-minimal draws: their inliers sit near the sigma residual ceiling
-    and their mutual-consistency clique stays shallow, while true poses
-    sit at sub-mm residuals with deep cliques (component separation
-    measured in tools/diag_conf2.py). ``quality`` fuses the three on-chip
-    statistics host-side (tunable without recompiling); gate with
-    ``min_quality``/bench curve v2."""
-    res01 = max(0.0, 1.0 - rms_residual / max(sensor_error, 1e-9))
-    return n_inliers * (0.5 + 0.5 * res01) + 2.0 * float(clique_size)
+    junk accepts reach 24-46 grown inliers. Junk poses are
+    refinement-grown sub-minimal draws whose mutual-consistency clique
+    stays shallow (measured max 8 over 262 junk accepts,
+    CONF2_ROWS.json) while true poses grow 9-16 cliques — the clique
+    statistic is the separator the inlier count lacks. The RMS residual
+    also separates in aggregate (junk p50 9.4 mm vs true 2.4 mm) but the
+    WEAKEST true accepts carry 9-12 mm residuals, so a residual penalty
+    would erode exactly the weak-texture margin the gate must keep; it is
+    reported on PoseResult for users but deliberately not fused.
+    Measured operating point: quality >= ~156 (the true/junk midpoint)
+    reaches recall 1.000 / precision 1.000 on the bench workload where
+    the v1 inlier gate peaks at 0.958/0.920. Host-side on purpose: the
+    constants are tunable without recompiling."""
+    del rms_residual, sensor_error  # reported, not fused (see docstring)
+    return float(n_inliers) + CLIQUE_WEIGHT * float(clique_size)
 
 
 def _empty_detections(n_objects: int, cfg: FusedDetectorConfig) -> ObjectDetections:
@@ -852,15 +871,19 @@ class FusedDetector:
         results: List[PoseResult] = []
         for o, object_id in enumerate(self.object_ids):
             for inst in range(det_acc.shape[1]):
-                if det_acc[o, inst] and \
-                        det_n[o, inst] >= self.config.min_confidence:
-                    results.append(PoseResult(
-                        R=det_r[o, inst], T=det_t[o, inst],
-                        object_id=object_id,
-                        confidence=float(det_n[o, inst]),
-                        rms_residual=float(det_rms[o, inst]),
-                        clique_size=int(det_cs[o, inst]),
-                        quality=confidence_v2(
-                            float(det_n[o, inst]), float(det_rms[o, inst]),
-                            int(det_cs[o, inst]), sigma)))
+                if not det_acc[o, inst] or \
+                        det_n[o, inst] < self.config.min_confidence:
+                    continue
+                quality = confidence_v2(
+                    float(det_n[o, inst]), float(det_rms[o, inst]),
+                    int(det_cs[o, inst]), sigma)
+                if quality < self.config.min_quality:
+                    continue
+                results.append(PoseResult(
+                    R=det_r[o, inst], T=det_t[o, inst],
+                    object_id=object_id,
+                    confidence=float(det_n[o, inst]),
+                    rms_residual=float(det_rms[o, inst]),
+                    clique_size=int(det_cs[o, inst]),
+                    quality=quality))
         return results

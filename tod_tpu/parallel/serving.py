@@ -184,19 +184,28 @@ class ShardedServingDetector:
     def results(self, det: ObjectDetections,
                 stream: int) -> List[Tuple[str, np.ndarray, np.ndarray, int]]:
         """Host-side extraction for one stream: ``(object_id, R, T,
-        n_inliers)`` for accepted instances over ``min_confidence``."""
+        n_inliers)`` for accepted instances over ``min_confidence`` and
+        the fused ``min_quality`` (same gates as the single-device
+        ``FusedDetector.detect``)."""
+        from tod_tpu.models.fused import confidence_v2
         from tod_tpu.utils.transfer import fetch_arrays
 
-        r, t, n, acc = fetch_arrays(det.R[stream], det.T[stream],
-                                    det.n_inliers[stream],
-                                    det.accepted[stream])
+        r, t, n, acc, rms, cs = fetch_arrays(
+            det.R[stream], det.T[stream], det.n_inliers[stream],
+            det.accepted[stream], det.rms_residual[stream],
+            det.clique_size[stream])
         gate = getattr(self.config, "min_confidence", 0)
+        q_gate = getattr(self.config, "min_quality", 0)
+        sigma = self.config.guess.sensor_error
         out = []
         for o, oid in enumerate(self.object_ids):
             if oid is None:
                 continue
             for inst in range(acc.shape[1]):
-                if acc[o, inst] and n[o, inst] >= gate:
+                if acc[o, inst] and n[o, inst] >= gate and \
+                        confidence_v2(float(n[o, inst]),
+                                      float(rms[o, inst]),
+                                      int(cs[o, inst]), sigma) >= q_gate:
                     out.append((oid, r[o, inst], t[o, inst],
                                 int(n[o, inst])))
         return out

@@ -210,12 +210,35 @@ def build_db(n_objects: int, seed: int = 0):
         if hit:
             from tod_tpu.db.models import TodModel
 
-            data = np.load(hit)
             objects = [make_obj(i) for i in range(n_objects)]
+            # recompressed-DB cache: the 16x5 dedup pass over a 16M-row
+            # catalog costs ~14 min of host CPU; the result depends only
+            # on (source cache, spec), so cache it beside the source
+            spec = os.environ.get("BENCH_RECOMPRESS", DEFAULT_RECOMPRESS)
+            rc_hit = (hit[:-4] + f"_rc{spec}_n{n_objects}.npz"
+                      if spec and spec.lower() not in ("off", "none", "0")
+                      else None)
+            if rc_hit and os.path.exists(rc_hit) \
+                    and os.path.getmtime(rc_hit) >= os.path.getmtime(hit):
+                data = np.load(rc_hit)
+                models = [TodModel(f"obj{i:03d}", data[f"d{i}"],
+                                   data[f"p{i}"])
+                          for i in range(n_objects)]
+                log(f"loaded {n_objects} recompressed models from "
+                    f"{rc_hit}")
+                return objects, models
+            data = np.load(hit)
             models = [TodModel(f"obj{i:03d}", data[f"d{i}"], data[f"p{i}"])
                       for i in range(n_objects)]
             log(f"loaded {n_objects} cached models from {hit}")
-            return objects, _recompress(models)
+            models = _recompress(models)
+            if rc_hit and models and models[0].descriptors.dtype == np.uint8:
+                np.savez(rc_hit,
+                         **{f"d{i}": m.descriptors
+                            for i, m in enumerate(models)},
+                         **{f"p{i}": m.points for i, m in enumerate(models)})
+                log(f"cached recompressed models to {rc_hit}")
+            return objects, models
 
     # object i's model depends only on (i, seed, shapes, feature params) —
     # a smaller cached DB with the same params is an exact prefix, so seed

@@ -68,33 +68,56 @@ def main():
     # between consecutive visits of its scene (latch stability of the
     # track/explore slot machinery).
     gate = int(os.environ.get("SOAK_GATE", "24"))
+    # SOAK_QGATE: fused-confidence (quality = inliers + 16*clique) gate
+    # for a second gated tally — the v2 statistic separates the junk that
+    # reaches 24+ inliers at catalog scale (models/fused.py confidence_v2)
+    q_gate = float(os.environ.get("SOAK_QGATE", "156"))
     # SOAK_BLOCK: consecutive frames per scene before cycling (default 1 =
     # round-robin every frame). Round-robin defeats the track latch (the
     # 8-frame revisit gap exceeds track_ttl), so it measures the near-
-    # stateless floor; a real camera dwells on a scene — SOAK_BLOCK=64
-    # exercises latch/explore steady state AND long-run drift together.
+    # stateless floor; a real camera dwells on a scene — SOAK_BLOCK >=
+    # 2x the exploration rotation cycle exercises latch/explore steady
+    # state AND long-run drift together. Within each block, a placement's
+    # frames AFTER the rotation cycle completes (t_in_block >= cycle)
+    # count toward SETTLED recall — the steady-state number a dwelling
+    # camera sees — while per-block discovery latency is reported
+    # separately (a scene switch legitimately pays up to one rotation
+    # cycle to rediscover coarse-excluded weak textures).
     block = int(os.environ.get("SOAK_BLOCK", "1"))
+    e_width = cfg.explore_width if stride else 0
+    cycle = -(-n_objects // e_width) if e_width else 0
     times, hits, placed = [], 0, 0
     g_hits = g_acc = g_tp = 0
+    q_hits = q_acc = q_tp = 0
     flicker = 0
     last_state = {}   # (scene, gt index) -> bool detected on last visit
     half_mark = n_frames // 2
     s_hits = s_placed = 0          # steady-state = second half
+    set_hits = set_placed = 0      # settled = post-rotation within block
+    block_first: dict = {}         # (block, scene, gt idx) -> first-hit t
     window = max(50, n_frames // 10)
     t_start = time.time()
     rss0 = rss_mb()
     for t in range(n_frames):
         s = (t // block) % len(frames)
+        t_in_block = t % block if block > 1 else 0
         t0 = time.time()
         found = det.detect(*frames[s])
         times.append(time.time() - t0)
         kept = [r for r in found if r.confidence >= gate]
+        q_kept = [r for r in found if r.quality >= q_gate]
         g_acc += len(kept)
+        q_acc += len(q_kept)
         for r in kept:
             if any(oid == r.object_id
                    and float(np.linalg.norm(r.T - gt_t)) <= 0.02
                    for oid, _r, gt_t in gts[s]):
                 g_tp += 1
+        for r in q_kept:
+            if any(oid == r.object_id
+                   and float(np.linalg.norm(r.T - gt_t)) <= 0.02
+                   for oid, _r, gt_t in gts[s]):
+                q_tp += 1
         for i, (oid, _r, gt_t) in enumerate(gts[s]):
             placed += 1
             hit = any(r.object_id == oid
@@ -103,17 +126,32 @@ def main():
             g_hit = any(r.object_id == oid
                         and float(np.linalg.norm(r.T - gt_t)) <= 0.02
                         for r in kept)
+            q_hit = any(r.object_id == oid
+                        and float(np.linalg.norm(r.T - gt_t)) <= 0.02
+                        for r in q_kept)
             if hit:
                 hits += 1
+                block_first.setdefault((t // block, s, i), t_in_block)
             if g_hit:
                 g_hits += 1
+            if q_hit:
+                q_hits += 1
             if t >= half_mark:
                 s_placed += 1
                 s_hits += 1 if hit else 0
+            if block > 1 and t_in_block >= cycle:
+                set_placed += 1
+                set_hits += 1 if hit else 0
             prev = last_state.get((s, i))
-            if prev is True and not hit:
+            # a flicker is a SETTLED latch dropping: discovery-phase
+            # non-detections at a fresh block are expected (the rotation
+            # has not reached the object yet), not latch instability
+            if prev is True and not hit and \
+                    (block == 1 or t_in_block > 0):
                 flicker += 1
             last_state[(s, i)] = hit
+        if block > 1 and (t + 1) % block == 0:
+            last_state.clear()   # block switch: latches legitimately reset
         if (t + 1) % window == 0:
             w = times[-window:]
             bench.log(f"  frame {t + 1}/{n_frames}: window p50 "
@@ -122,11 +160,13 @@ def main():
 
     first = times[:window]
     last = times[-window:]
+    disc = sorted(block_first.values())
     out = {
         "frames": n_frames,
         "objects": n_objects,
         "coarse_stride": stride,
         "fps_overall": n_frames / wall,
+        "fps_p50": 1.0 / float(np.median(times)),
         "ms_p50_first_window": float(np.median(first) * 1e3),
         "ms_p50_last_window": float(np.median(last) * 1e3),
         "ms_p95_overall": float(np.percentile(times, 95) * 1e3),
@@ -136,9 +176,18 @@ def main():
             (np.median(last) / np.median(first) - 1.0) * 100.0),
         "recall_at_2cm_overall": hits / max(placed, 1),
         "recall_at_2cm_steady": s_hits / max(s_placed, 1),
+        "recall_at_2cm_settled": (set_hits / set_placed
+                                  if set_placed else None),
+        "rotation_cycle_frames": cycle,
+        "discovery_frame_p50": (float(np.median(disc)) if disc else None),
+        "discovery_frame_p90": (float(np.percentile(disc, 90))
+                                if disc else None),
         "gate": gate,
         "recall_at_2cm_gated": g_hits / max(placed, 1),
         "precision_at_2cm_gated": g_tp / max(g_acc, 1),
+        "q_gate": q_gate,
+        "recall_at_2cm_qgated": q_hits / max(placed, 1),
+        "precision_at_2cm_qgated": q_tp / max(q_acc, 1),
         "flicker_count": flicker,
         "flicker_per_1k_visits": 1000.0 * flicker / max(placed, 1),
         "rss_start_mb": rss0,
@@ -150,6 +199,10 @@ def main():
             else f"SOAK_CF_{n_objects}.json")
     if block > 1:
         name = name.replace(".json", f"_b{block}.json")
+    # SOAK_TAG: explicit suffix (e.g. 'sift') so feature-variant soaks
+    # never clobber the ORB record
+    if os.environ.get("SOAK_TAG"):
+        name = name.replace(".json", f"_{os.environ['SOAK_TAG']}.json")
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
 

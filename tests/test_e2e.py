@@ -358,8 +358,9 @@ def test_serving_ork_pipeline_matches_fused(trained):
                  max_active_objects=2, activation_m_cap=128,
                  activation_hypotheses=128,
                  # neutralize the serving defaults so the parity target is
-                 # the plain FusedDetectorConfig below
-                 bucket_grid="", min_confidence=0)
+                 # the plain FusedDetectorConfig below (min_quality: the
+                 # shipped .ork now gates on the fused confidence)
+                 bucket_grid="", min_confidence=0, min_quality=0)
     p = build_pipeline_from_ork(conf, overrides={
         "source1": {"frames": [{"image": image, "depth": depth,
                                 "K": DEFAULT_K}]},

@@ -197,7 +197,8 @@ def test_sift_segmented_serving_e2e():
             # match the direct config's RansacConfig/GuessConfig defaults
             "max_instances": 5, "max_matches_per_object": 512,
             # neutralize serving extras so the parity target is cfg above
-            "bucket_grid": "", "min_confidence": 0},
+            # (min_quality: the shipped .ork gates on fused confidence)
+            "bucket_grid": "", "min_confidence": 0, "min_quality": 0},
     })
     p.execute(1)
     ork_results = p.cells["pipeline1"].outputs["pose_results"]

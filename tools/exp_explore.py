@@ -76,21 +76,31 @@ def main():
                                   track_width=t_width, track_ttl=ttl)
 
     # ---- control: narrow CF, stateless ------------------------------------
-    det = FusedDetector(models, cfg_ctl)
-    ctl_hits, n_placed = 0, 0
-    ctl_times = []
-    for image, depth, gt in scenes:
-        frame = det.prepare_frame(image, depth, DEFAULT_K)
-        det.detect(*frame)                      # warm compile before timing
-        t0 = time.time()
-        found = det.detect(*frame)
-        ctl_times.append(time.time() - t0)
-        ctl_hits += len(_hits(found, gt))
-        n_placed += len(gt)
-    ctl_recall = ctl_hits / n_placed
-    bench.log(f"control (CF {stride}/{width}): recall@2cm "
-              f"{ctl_hits}/{n_placed} = {ctl_recall:.3f}, "
-              f"per-frame p50 {np.median(ctl_times)*1e3:.1f} ms")
+    # EXPLORE_SKIP_CONTROL=1 skips it: at very large catalogs two resident
+    # packed DBs (control + explore detectors) exceed single-chip HBM —
+    # the 2000-object point OOMed exactly there while the explore arm
+    # alone fits fine (queue_r5b explore-2000 postmortem)
+    n_placed = sum(len(gt) for _i, _d, gt in scenes)
+    ctl_recall = None
+    ctl_times = [float("nan")]
+    if os.environ.get("EXPLORE_SKIP_CONTROL") != "1":
+        det = FusedDetector(models, cfg_ctl)
+        ctl_hits = 0
+        ctl_times = []
+        for image, depth, gt in scenes:
+            frame = det.prepare_frame(image, depth, DEFAULT_K)
+            det.detect(*frame)                  # warm compile before timing
+            t0 = time.time()
+            found = det.detect(*frame)
+            ctl_times.append(time.time() - t0)
+            ctl_hits += len(_hits(found, gt))
+        ctl_recall = ctl_hits / n_placed
+        bench.log(f"control (CF {stride}/{width}): recall@2cm "
+                  f"{ctl_hits}/{n_placed} = {ctl_recall:.3f}, "
+                  f"per-frame p50 {np.median(ctl_times)*1e3:.1f} ms")
+        # free the control detector's device DB before packing the explore
+        # one (two resident packed catalogs OOM at 2000 objects)
+        del det
 
     # ---- explore arm: same widths, 4 explore + 4 tracked slots -------------
     det = FusedDetector(models, cfg_exp)
@@ -130,8 +140,10 @@ def main():
     out = {
         "workload": f"{n_objects}-object mixed bench DB, 8 bench scenes, "
                     f"CF stride {stride} fine_width {width}",
-        "control_recall": round(ctl_recall, 4),
-        "control_ms_p50": round(float(np.median(ctl_times)) * 1e3, 2),
+        "control_recall": (round(ctl_recall, 4)
+                           if ctl_recall is not None else None),
+        "control_ms_p50": (round(float(np.median(ctl_times)) * 1e3, 2)
+                           if ctl_recall is not None else None),
         "explore_width": e_width, "track_width": t_width,
         "track_ttl": ttl,
         "cycle_frames": cycle,

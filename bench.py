@@ -757,8 +757,9 @@ def main():
     gate = int(os.environ.get("BENCH_GATE", "24"))
     g_rec, g_prec = curve.get(gate, (None, None))
     if g_rec is not None:
-        log(f"gated headline (min_confidence={gate}, the serving.ork "
-            f"default): recall {g_rec:.3f} / precision {g_prec:.3f}")
+        log(f"gated headline v1 (min_confidence={gate}): recall "
+            f"{g_rec:.3f} / precision {g_prec:.3f} — the serving.ork "
+            "ships the fused min_quality gate (curve below)")
     # quality (confidence v2) curve: the fused statistic (inliers weighted
     # by pose sharpness + inlier-clique depth, models/fused.py
     # confidence_v2) separates 24+-inlier junk from true poses that the

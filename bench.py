@@ -465,6 +465,10 @@ def build_config(n_features: int):
         # catalogs (the full sweep is linear in total rows). 0 = off.
         coarse_stride=int(os.environ.get("BENCH_COARSE", "0")),
         fine_width=int(os.environ.get("BENCH_FINE", "128")),
+        # BENCH_COARSE_Q: coarse-pass query subsampling (ranking-only;
+        # power of two). The coarse sweep runs near the matcher roofline
+        # at large catalogs, and object RANKING does not need every query.
+        coarse_q_stride=int(os.environ.get("BENCH_COARSE_Q", "1")),
         # BENCH_TRACK / BENCH_EXPLORE: reserve that many fine-slab slots
         # for tracked (recently-accepted) and exploration (deterministic
         # catalog rotation) objects — the stateful streaming serving mode

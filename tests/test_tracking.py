@@ -248,6 +248,30 @@ def test_tracked_pose_state_feeds_seeding(trained_pair):
     assert not bool(seeds.ok[other])
 
 
+def test_coarse_query_subsampling_still_detects(trained_pair):
+    """coarse_q_stride subsamples the RANKING queries only (the coarse
+    sweep runs near the matcher roofline at large catalogs); the fine
+    pass sees every query, so detection quality holds on the same frames
+    the tracking tests use."""
+    import dataclasses
+
+    (plane, box), db = trained_pair
+    models = load_models_for_objects(db, "all")
+    frame1, frame2, pose_p = _frames(plane, box)
+
+    cfg = dataclasses.replace(_cfg(fine_width=2, track_width=1),
+                              coarse_q_stride=2)
+    det = FusedDetector(models, cfg)
+    r1 = det.detect(frame1[0], frame1[1], DEFAULT_K)
+    assert any(r.object_id == "weak_plane" for r in r1)
+    r2 = det.detect(frame2[0], frame2[1], DEFAULT_K)
+    found2 = {r.object_id for r in r2}
+    assert found2 == {"strong_box", "weak_plane"}, found2
+    dts = [np.linalg.norm(r.T - pose_p[1]) for r in r2
+           if r.object_id == "weak_plane"]
+    assert min(dts) < 0.02, dts
+
+
 def test_control_without_tracking_drops_evicted_object(trained_pair):
     """The same frames through a width-1 slab with no reserved slot: the
     box's dominant coarse statistic evicts the present plane (this is the

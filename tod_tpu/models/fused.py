@@ -101,6 +101,15 @@ class FusedDetectorConfig:
     # operating point at 100 objects).
     coarse_stride: int = 0
     fine_width: int = 128
+    # Coarse-pass QUERY subsampling: the coarse sweep only RANKS objects
+    # (prescreen margin mass over the slab selection), which does not need
+    # every compacted query — the profile shows the coarse stage near the
+    # matcher roofline (~5 ms of 2048 x 1M pairs at the 1000-object
+    # frontier), so halving its queries buys real frame time. Selected
+    # objects' fine columns stay bitwise-exact (the fine pass always uses
+    # ALL queries). Use powers of two so the subsampled query count stays
+    # a multiple of the kernel tile (q_cap pads to 512s). 1 = off.
+    coarse_q_stride: int = 1
     # Temporal slab persistence (coarse->fine streaming only): reserve
     # ``track_width`` of the fine_width slots for the most-recently-
     # detected objects (kept for ``track_ttl`` frames past their last
@@ -483,6 +492,11 @@ def _stage_geometry_segmented(key, xy, qp, ok, dist_qo, rows_qo,
 
 def _stage_coarse_select(dsc, ok, cdb, tracked=None, explore=None, *,
                          cfg: FusedDetectorConfig):
+    if cfg.coarse_q_stride > 1:
+        # ranking-only query subsample (see FusedDetectorConfig): the
+        # fine pass downstream still sees every query
+        dsc = dsc[::cfg.coarse_q_stride]
+        ok = ok[::cfg.coarse_q_stride]
     if isinstance(cdb, SegmentedDb):
         dist_c, _ = object_top1(dsc, cdb)
     else:

@@ -298,10 +298,16 @@ def serving_step_sharded(mesh: Mesh, cfg, fine_max_chunks: int = 0):
             if coarse:
                 # coarse sweep over this shard's subsampled objects; the
                 # gathered (Q, O) result is identical on every device, so
-                # the top-fine_width selection is too
-                dc_loc, _ = _top1_for(cdb)(dsc_f, cdb, vary=("data", "db"))
+                # the top-fine_width selection is too. The ranking-only
+                # query subsample (cfg.coarse_q_stride) matches
+                # _stage_coarse_select exactly, keeping single-vs-sharded
+                # selections bitwise-identical
+                q_s = getattr(cfg, "coarse_q_stride", 1)
+                dsc_c = dsc_f[::q_s] if q_s > 1 else dsc_f
+                ok_c = ok_f[::q_s] if q_s > 1 else ok_f
+                dc_loc, _ = _top1_for(cdb)(dsc_c, cdb, vary=("data", "db"))
                 dc = jax.lax.all_gather(dc_loc, "db", axis=1, tiled=True)
-                sel = coarse_select(dc, ok_f, cfg.radius,
+                sel = coarse_select(dc, ok_c, cfg.radius,
                                     cfg.resolved_coarse_slack,
                                     cfg.fine_width - n_track - n_explore,
                                     act.prescreen_top)

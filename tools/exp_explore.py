@@ -157,6 +157,10 @@ def main():
             else f"EXPLORE_BENCH_{n_objects}.json")
     if stride != 8:   # non-default stride: keep the default-stride record
         name = name.replace(".json", f"_s{stride}.json")
+    # EXPLORE_TAG: explicit suffix for A/B runs so they never clobber the
+    # headline record
+    if os.environ.get("EXPLORE_TAG"):
+        name = name.replace(".json", f"_{os.environ['EXPLORE_TAG']}.json")
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
     bench.log(f"wrote {name}")

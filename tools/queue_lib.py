@@ -46,7 +46,7 @@ KNOBS = (
     "BENCH_PIPELINE", "BENCH_QCAP", "BENCH_BUCKET", "BENCH_RADIUS",
     "BENCH_K", "BENCH_COARSE", "BENCH_FINE",
     "BENCH_TRACK", "BENCH_EXPLORE", "BENCH_TTL",
-    "BENCH_TRACK_CONF", "BENCH_ACT_RESERVE",
+    "BENCH_TRACK_CONF", "BENCH_ACT_RESERVE", "BENCH_COARSE_Q",
     "BENCH_ACT_CAP", "BENCH_ACT_HYP", "BENCH_PRESCREEN",
     "BENCH_HYP", "BENCH_CONT", "BENCH_M", "BENCH_ACTIVE",
     "BENCH_BATCH", "BENCH_REEXEC", "QUEUE_QUIET",
